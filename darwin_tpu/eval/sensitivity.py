@@ -1,0 +1,109 @@
+"""Sensitivity / specificity evaluation against simulated ground truth.
+
+Python-3 re-design of the reference's measure_sensitivity_PBSIM.py
+(de-novo mode): ground-truth overlaps are recomputed from the genome
+coordinates embedded in read names; reported overlaps are filtered by
+score and aligned length and matched to the truth on (id1, id2) pairs.
+
+Parity with the reference evaluator:
+* read-name integers parsed with the same "all integer substrings" rule
+  (measure_sensitivity_PBSIM.py:11-12) — a name R<id>_<pos>_<len> yields
+  [id, pos, len];
+* true overlap = genomic intervals intersecting >= 1000 bp (:103);
+* reported overlap kept if score >= 600 and both aligned spans >= 990
+  (:21-22, 171-172);
+* optional AB->BA mirroring (extra=1, :146-148) and trivial self-overlap
+  removal (:125-126, 167-169);
+* a truth pair counts TP if ANY reported overlap matches the id pair
+  (:194-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+
+def _ints(line: str) -> list[int]:
+    return [int(x) for x in re.findall(r"\d+", line)]
+
+
+@dataclasses.dataclass
+class EvalResult:
+    tp: int
+    fn: int
+    fp: int
+
+    @property
+    def sensitivity(self) -> float:
+        return self.tp / max(1, self.tp + self.fn)
+
+    @property
+    def specificity(self) -> float:
+        return self.tp / max(1, self.tp + self.fp)
+
+
+def theoretical_overlaps(names: list[str], min_overlap: int = 1000,
+                         remove_trivial: bool = True
+                         ) -> list[tuple[int, int]]:
+    """(idx1, idx2) pairs whose genomic intervals overlap enough."""
+    info = [_ints(n) for n in names]
+    out = []
+    for i1, r1 in enumerate(info):
+        a1, alen = r1[1], r1[2]
+        a2 = a1 + alen
+        for i2, r2 in enumerate(info):
+            if remove_trivial and i1 == i2:
+                continue
+            b1 = r2[1]
+            b2 = b1 + r2[2]
+            if a2 < b1 or b2 < a1:
+                continue
+            if min(a2, b2) - max(a1, b1) >= min_overlap:
+                out.append((i1, i2))
+    return out
+
+
+def measure_sensitivity(records: list[str], read_names: list[str],
+                        score_thres: int = 600, min_length: int = 990,
+                        min_overlap: int = 1000, extra: bool = True,
+                        remove_trivial: bool = True) -> EvalResult:
+    """Score overlap records (format_record lines) against ground truth.
+
+    ``read_names`` is the FASTA name list; record names must appear in
+    it (ids are recovered from the leading integer in each name, exactly
+    like the reference's integer-parse of the record line).
+    """
+    hovls: list[list[int]] = []
+    for line in records:
+        l = _ints(line)
+        # l = [ref_id, pos, len, read_id, pos, len, ab, ae, bb, be,
+        #      score, comp]
+        hovls.append(l + [0])
+        if extra:
+            hovls.append([l[3], l[4], l[5], l[0], l[1], l[2],
+                          l[8], l[9], l[6], l[7], l[10], l[11], 0])
+
+    if remove_trivial:
+        hovls = [h for h in hovls if h[0] != h[3]]
+    hovls = [h for h in hovls
+             if h[7] - h[6] >= min_length and h[9] - h[8] >= min_length
+             and h[10] >= score_thres]
+
+    tovls = theoretical_overlaps(read_names, min_overlap, remove_trivial)
+
+    by_pair: dict[tuple[int, int], list[list[int]]] = {}
+    for h in hovls:
+        by_pair.setdefault((h[0], h[3]), []).append(h)
+
+    fn = 0
+    for pair in tovls:
+        matched = by_pair.get(pair)
+        if matched:
+            for h in matched:
+                h[12] = 1
+        else:
+            fn += 1
+    tp = sum(1 for h in hovls if h[12] == 1)
+    fp = sum(1 for h in hovls if h[12] == 0)
+    return EvalResult(tp=tp, fn=fn, fp=fp)
