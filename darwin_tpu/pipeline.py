@@ -1,0 +1,96 @@
+"""End-to-end overlap pipeline: load -> index -> D-SOFT -> GACT -> records.
+
+Single-host equivalent of the reference driver's AlignReads flow
+(darwin.cpp:166-449, GPU build): D-SOFT all reads (forward then reverse
+complement), batch the resulting GACT calls, run the tile engine once
+per direction.  Multi-device sharding lives in darwin_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from darwin_tpu.coding import seq_to_bytes
+from darwin_tpu.config import Params
+from darwin_tpu.dsoft import dsoft
+from darwin_tpu.engine.aligner import JaxTileAligner
+from darwin_tpu.engine.batch import GactCalls, run_gact_batch
+from darwin_tpu.engine.scoring import ScoreParams
+from darwin_tpu.engine.seqbank import SeqBank
+from darwin_tpu.golden.gact import format_record
+from darwin_tpu.index.genome import Genome
+from darwin_tpu.index.seed_table import SeedTable
+from darwin_tpu.io.fasta import FastaRecord, revcomp
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    records: list[str]
+    num_candidates_for: int
+    num_candidates_rev: int
+
+
+def collect_calls(table: SeedTable, genome: Genome, queries: SeqBank,
+                  params: Params, read_ids=None) -> GactCalls:
+    """Run D-SOFT for every query and decode hits to GACT anchors."""
+    rid, qid, rpos, qpos = [], [], [], []
+    ids = range(len(queries.lengths)) if read_ids is None else read_ids
+    for k in ids:
+        seq = queries.slice(k, 0, int(queries.lengths[k]))
+        hits, offsets = dsoft(table, seq, params.num_seeds,
+                              params.threshold, params.max_candidates)
+        if len(hits) == 0:
+            continue
+        chr_id, local = genome.decode_hits(hits)
+        rid.append(chr_id)
+        qid.append(np.full(len(hits), k, dtype=np.int64))
+        rpos.append(local)
+        qpos.append(offsets)
+
+    if not rid:
+        z = np.empty(0, dtype=np.int64)
+        return GactCalls(z, z, z, z)
+    return GactCalls(np.concatenate(rid), np.concatenate(qid),
+                     np.concatenate(rpos), np.concatenate(qpos))
+
+
+def run_pipeline(ref_records: list[FastaRecord],
+                 read_records: list[FastaRecord], params: Params,
+                 same_file: bool, *, batch_size: int = 512,
+                 aligner=None, table: SeedTable | None = None
+                 ) -> PipelineResult:
+    genome = Genome(ref_records, params.bin_size)
+    if table is None:
+        table = SeedTable.build(genome.concat, params.seed_size,
+                                params.seed_occurence_multiple,
+                                params.bin_size, params.window_size)
+    if aligner is None:
+        aligner = JaxTileAligner(
+            tile_size=params.tile_size,
+            early_terminate=params.early_terminate,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_extend=params.gap_extend)
+
+    fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
+    rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
+                        for r in read_records])
+    sp = ScoreParams(params.match, params.mismatch, params.gap_open,
+                     params.gap_extend)
+
+    records: list[str] = []
+    counts = []
+    for comp, bank in ((False, fwd_bank), (True, rev_bank)):
+        calls = collect_calls(table, genome, bank, params)
+        counts.append(len(calls))
+        recs = run_gact_batch(
+            genome, bank, calls, tile_size=params.tile_size,
+            first_tile_score_threshold=params.first_tile_score_threshold,
+            sp=sp, complement=comp, same_file=same_file,
+            aligner=aligner, batch_size=batch_size)
+        for r in recs:
+            records.append(format_record(
+                genome.names[r.ref_id], read_records[r.query_id].name,
+                r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+    return PipelineResult(records, counts[0], counts[1])

@@ -1,0 +1,23 @@
+"""End-to-end differential tests: production pipeline vs the reference
+binary's golden outputs, on all fixtures."""
+
+import pytest
+
+from darwin_tpu.config import Params
+from darwin_tpu.io.fasta import parse_fasta
+from darwin_tpu.pipeline import run_pipeline
+
+
+@pytest.mark.parametrize("fixture,batch", [("tiny", 32), ("tiny", 1),
+                                           ("small", 128), ("noisy", 64)])
+@pytest.mark.slow
+def test_pipeline_matches_reference(data_dir, fixture, batch):
+    d = data_dir / fixture
+    params = Params.from_cfg(d / "params.cfg")
+    reads = parse_fasta(d / "reads.fasta")
+    result = run_pipeline(reads, reads, params, same_file=True,
+                          batch_size=batch)
+    want = set((d / "out.darwin").read_text().splitlines())
+    got = set(result.records)
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
