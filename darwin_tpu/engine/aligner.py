@@ -1,10 +1,10 @@
 """Tile-batch aligner frontends: one call = DP + traceback on device.
 
-`JaxTileAligner` is the portable backend (any JAX platform); the Pallas
-TPU kernel plugs in behind the same interface (see ops/pallas_dp.py).
-Equivalent of the reference's Align_Batch_GPU host wrapper
-(cuda_host.cu:23-190), minus the per-batch marshaling: tiles arrive as
-fixed-shape arrays and results come back as NumPy.
+Backend dispatch: the Pallas kernel (ops/pallas_dp.py) on TPU, the
+portable lax formulation (ops/reference_dp.py) elsewhere; both share
+the traceback.  Equivalent of the reference's Align_Batch_GPU host
+wrapper (cuda_host.cu:23-190), minus the per-batch marshaling: tiles
+arrive as fixed-shape arrays and results come back as NumPy.
 """
 
 from __future__ import annotations
@@ -14,8 +14,15 @@ import dataclasses
 import jax
 import numpy as np
 
+from darwin_tpu.ops.pallas_dp import ROWS_PER_STEP, align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
 from darwin_tpu.ops.traceback import traceback_jax
+
+TPU_PLATFORMS = ("tpu",)
+
+
+def default_backend() -> str:
+    return "pallas" if jax.default_backend() in TPU_PLATFORMS else "lax"
 
 
 @dataclasses.dataclass
@@ -31,15 +38,29 @@ class TileResult:
 class JaxTileAligner:
     def __init__(self, *, tile_size: int, early_terminate: int,
                  match: int, mismatch: int, gap_open: int,
-                 gap_extend: int, device=None):
+                 gap_extend: int, backend: str = "auto",
+                 block_b: int = 256):
+        if backend == "auto":
+            backend = default_backend()
+        self.backend = backend
         self.tile_size = tile_size
         self.early_terminate = early_terminate
-        self._device = device
+        # The Pallas grid needs the batch to divide into blocks; the
+        # lax path has no constraint.  Callers pass any batch size and
+        # we pad to the block multiple.
+        self.block_b = block_b
 
         def step(ref, query, rlen, qlen, first):
-            out = align_tiles_jax(ref, query, rlen, qlen, match=match,
-                                  mismatch=mismatch, gap_open=gap_open,
-                                  gap_extend=gap_extend)
+            if backend == "pallas":
+                out = align_tiles_pallas(
+                    ref, query, rlen, qlen, match=match,
+                    mismatch=mismatch, gap_open=gap_open,
+                    gap_extend=gap_extend,
+                    block_b=min(block_b, ref.shape[0]))
+            else:
+                out = align_tiles_jax(ref, query, rlen, qlen, match=match,
+                                      mismatch=mismatch, gap_open=gap_open,
+                                      gap_extend=gap_extend)
             ops, i_steps, j_steps = traceback_jax(
                 out["dir"], rlen, qlen, first, out["max_i"],
                 out["max_j"], early_terminate=early_terminate)
@@ -48,15 +69,31 @@ class JaxTileAligner:
             return (ops.T, i_steps, j_steps, score, out["max_i"],
                     out["max_j"])
 
-        self._step = jax.jit(step, device=device)
+        self._step = jax.jit(step)
+
+    def _pad(self, B: int) -> int:
+        if self.backend != "pallas":
+            return B
+        bb = min(self.block_b, max(8, B))
+        return -(-B // bb) * bb
 
     def __call__(self, ref_tiles: np.ndarray, query_tiles: np.ndarray,
                  ref_lens: np.ndarray, query_lens: np.ndarray,
                  firsts: np.ndarray) -> TileResult:
+        B = ref_tiles.shape[0]
+        BP = self._pad(B)
+        if BP != B:
+            pad = ((0, BP - B), (0, 0))
+            ref_tiles = np.pad(ref_tiles, pad, constant_values=1)
+            query_tiles = np.pad(query_tiles, pad, constant_values=2)
+            ref_lens = np.pad(ref_lens, (0, BP - B))
+            query_lens = np.pad(query_lens, (0, BP - B))
+            firsts = np.pad(firsts, (0, BP - B))
         ops, i_s, j_s, score, mi, mj = jax.device_get(self._step(
             ref_tiles, query_tiles, ref_lens.astype(np.int32),
             query_lens.astype(np.int32), firsts.astype(bool)))
-        return TileResult(ops=np.asarray(ops), ref_steps=np.asarray(i_s),
-                          query_steps=np.asarray(j_s),
-                          score=np.asarray(score),
-                          max_i=np.asarray(mi), max_j=np.asarray(mj))
+        return TileResult(
+            ops=np.asarray(ops)[:B], ref_steps=np.asarray(i_s)[:B],
+            query_steps=np.asarray(j_s)[:B],
+            score=np.asarray(score)[:B],
+            max_i=np.asarray(mi)[:B], max_j=np.asarray(mj)[:B])

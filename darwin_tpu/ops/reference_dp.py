@@ -54,7 +54,9 @@ def align_tiles_jax(ref: jnp.ndarray, query: jnp.ndarray,
       ref_len, query_len: [B] int32 true lengths (0 allowed for idle).
 
     Returns dict with:
-      dir: [B, T+1, T+1] uint8 direction bytes (row/col 0 are ZERO).
+      dir: [B, T, T+1] uint8 direction bytes; row r holds DP row r+1
+        (DP row 0 / column 0 are implicitly ZERO — the traceback masks
+        them, so no materialized zero row is needed).
       max_score, max_i, max_j: [B] int32, 1-indexed max cell.
       pos_score: [B] int32, H at the anchor corner (ref_len, query_len).
     """
@@ -72,7 +74,7 @@ def align_tiles_jax(ref: jnp.ndarray, query: jnp.ndarray,
     m0 = jnp.zeros((B, TJ), dt)
     i0 = jnp.full((B, TJ), -NEG_INF, dt)
     d0 = jnp.full((B, TJ), -NEG_INF, dt)
-    dirm0 = jnp.zeros((B, T + 1, TJ), jnp.uint8)
+    dirm0 = jnp.zeros((B, T, TJ), jnp.uint8)
     # l*ge offsets for the cummax closed form.
     lge = jlane * gap_extend
 
@@ -116,7 +118,7 @@ def align_tiles_jax(ref: jnp.ndarray, query: jnp.ndarray,
         rvalid = (i <= ref_len)[:, None]
         op = jnp.where(jvalid & rvalid, op, jnp.uint8(0))
         dirm = jax.lax.dynamic_update_slice_in_dim(
-            dirm, op[:, None, :], i, axis=1)
+            dirm, op[:, None, :], i - 1, axis=1)
 
         hv = jnp.where(jvalid, h_new, -1)
         row_max = jnp.max(hv, axis=1)

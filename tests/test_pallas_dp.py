@@ -1,0 +1,45 @@
+"""Pallas TPU kernel vs the pure-JAX DP, in interpreter mode on CPU.
+
+Full parity (dir matrix, max cell, scores) on random related tiles.
+On real TPU hardware the same comparison runs compiled (see
+tools/tpu_check.py and the tpu-marked test below).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from darwin_tpu.ops.pallas_dp import align_tiles_pallas
+from darwin_tpu.ops.reference_dp import align_tiles_jax
+
+from tests.test_dp import MATCH, MISMATCH, GO, GE, make_batch
+
+
+def _compare(B, T, seed, block_b, interpret):
+    rng = np.random.default_rng(seed)
+    ref, query, rlen, qlen = make_batch(rng, B, T)
+    want = align_tiles_jax(ref, query, rlen, qlen, match=MATCH,
+                           mismatch=MISMATCH, gap_open=GO, gap_extend=GE)
+    got = align_tiles_pallas(ref, query, rlen, qlen, match=MATCH,
+                             mismatch=MISMATCH, gap_open=GO,
+                             gap_extend=GE, block_b=block_b,
+                             interpret=interpret)
+    for k in ("max_score", "max_i", "max_j", "pos_score"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    wdir = np.asarray(want["dir"])
+    gdir = np.asarray(got["dir"])[:, :, : wdir.shape[2]]
+    np.testing.assert_array_equal(gdir, wdir)
+
+
+@pytest.mark.parametrize("B,T,seed,block_b", [
+    (8, 24, 0, 8), (16, 40, 1, 8), (8, 24, 2, 4)])
+def test_pallas_interpret_matches_jax(B, T, seed, block_b):
+    _compare(B, T, seed, block_b, interpret=True)
+
+
+@pytest.mark.tpu
+def test_pallas_tpu_matches_jax():
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs TPU")
+    _compare(256, 320, 3, 128, interpret=False)

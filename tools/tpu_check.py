@@ -1,0 +1,86 @@
+"""Validate the Pallas kernel on real TPU hardware and measure GCUPS.
+
+Usage: python tools/tpu_check.py [B] [T] [block_b]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+from darwin_tpu.ops.pallas_dp import align_tiles_pallas
+from darwin_tpu.ops.reference_dp import align_tiles_jax
+from darwin_tpu.ops.traceback import traceback_jax
+
+
+def main() -> None:
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 320
+    block_b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    print("backend:", jax.default_backend(), jax.devices())
+
+    from tests.test_dp import make_batch
+    rng = np.random.default_rng(0)
+    ref, query, rlen, qlen = make_batch(rng, B, T)
+    kw = dict(match=1, mismatch=-1, gap_open=-1, gap_extend=-1)
+
+    t0 = time.time()
+    got = jax.block_until_ready(align_tiles_pallas(
+        ref, query, rlen, qlen, block_b=block_b, **kw))
+    print(f"pallas compile+run: {time.time()-t0:.1f}s")
+
+    # Parity vs the lax formulation on a slice (lax on TPU is slow but
+    # correct; keep the slice small).
+    nb = min(B, 64)
+    want = jax.block_until_ready(align_tiles_jax(
+        ref[:nb], query[:nb], rlen[:nb], qlen[:nb], **kw))
+    ok = True
+    for k in ("max_score", "max_i", "max_j", "pos_score"):
+        if not np.array_equal(np.asarray(got[k])[:nb], np.asarray(want[k])):
+            print("MISMATCH", k)
+            ok = False
+    gd = np.asarray(got["dir"])[:nb, :, : want["dir"].shape[2]]
+    if not np.array_equal(gd, np.asarray(want["dir"])):
+        bad = np.argwhere(gd != np.asarray(want["dir"]))
+        print("MISMATCH dir", bad[:5], gd.shape)
+        ok = False
+    print("parity on", nb, "tiles:", "OK" if ok else "FAIL")
+
+    # Traceback on TPU
+    first = np.ones(B, dtype=bool)
+    t0 = time.time()
+    ops, i_s, j_s = jax.block_until_ready(traceback_jax(
+        got["dir"], rlen, qlen, first, got["max_i"], got["max_j"],
+        early_terminate=200))
+    print(f"traceback compile+run: {time.time()-t0:.1f}s")
+
+    # Timing
+    for name, fn in [
+        ("dp", lambda: align_tiles_pallas(ref, query, rlen, qlen,
+                                          block_b=block_b, **kw)),
+        ("traceback", lambda: traceback_jax(
+            got["dir"], rlen, qlen, first, got["max_i"], got["max_j"],
+            early_terminate=200)),
+    ]:
+        jax.block_until_ready(fn())
+        n = 5
+        t0 = time.time()
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / n
+        cells = float(np.sum(rlen.astype(np.int64) * qlen))
+        if name == "dp":
+            print(f"{name}: {dt*1e3:.2f} ms  "
+                  f"{cells/dt/1e9:.1f} GCUPS (true cells), "
+                  f"{B*T*T/dt/1e9:.1f} GCUPS (padded)")
+        else:
+            print(f"{name}: {dt*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
