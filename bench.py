@@ -1,0 +1,106 @@
+"""Headline benchmark: GACT tile-alignment GCUPS per chip.
+
+Prints ONE JSON line:
+  {"metric": "gact_gcups", "value": <GCUPS>, "unit": "GCUPS",
+   "vs_baseline": <ratio>}
+
+Measured quantity: the full tile step (DP kernel + vectorized
+traceback) on batches of 2048 full 320x320 tiles — DP cells updated
+per second on one chip.  V distinct batches are staged on device up
+front and chained in a single dispatch (lax.scan), and completion is
+forced with a host fetch of a reduction over every output: over the
+axon relay, block_until_ready can return before execution finishes, so
+only a device_get is a trustworthy fence.  Per-dispatch tunnel RTT is
+amortized 1/V and included.
+
+Baseline: the reference implementation's CPU kernel (AlignWithBT,
+align.cpp:60-233) measured on this machine at 0.011 GCUPS
+single-thread; see BENCH_NOTES.md for methodology (the reference's
+CUDA build needs a Kepler GPU and cannot run here).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CPU_KERNEL_GCUPS = 0.011
+
+B = 2048
+T = 320
+ET = 200
+V = 16  # distinct batches chained per dispatch
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from darwin_tpu.engine.aligner import default_backend
+    from darwin_tpu.ops.pallas_dp import align_tiles_pallas
+    from darwin_tpu.ops.reference_dp import align_tiles_jax
+    from darwin_tpu.ops.traceback import traceback_jax
+
+    backend = default_backend()
+    print(f"backend={jax.default_backend()} kernel={backend} "
+          f"B={B} T={T} V={V}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    refs = alpha[rng.integers(0, 4, size=(V, B, T))]
+    queries = refs.copy()
+    mut = rng.random((V, B, T)) < 0.1  # ~10% divergence
+    queries[mut] = alpha[rng.integers(0, 4, size=int(mut.sum()))]
+    rlen = np.full(B, T, dtype=np.int32)
+    qlen = np.full(B, T, dtype=np.int32)
+    firsts = np.zeros(B, dtype=bool)
+    firsts[: B // 2] = True
+
+    kw = dict(match=1, mismatch=-1, gap_open=-1, gap_extend=-1)
+
+    def one_step(r, q):
+        if backend == "pallas":
+            out = align_tiles_pallas(r, q, rlen, qlen, block_b=256, **kw)
+        else:
+            out = align_tiles_jax(r, q, rlen, qlen, **kw)
+        ops, i_s, j_s = traceback_jax(out["dir"], rlen, qlen, firsts,
+                                      out["max_i"], out["max_j"],
+                                      early_terminate=ET)
+        # Reduce over every output so nothing is dead-code-eliminated.
+        return (ops.astype(jnp.int32).sum() + i_s.sum() + j_s.sum()
+                + out["max_score"].sum())
+
+    def chained(rs, qs):
+        def body(carry, rq):
+            return carry + one_step(*rq), None
+        total, _ = jax.lax.scan(body, jnp.int32(0), (rs, qs))
+        return total
+
+    jchained = jax.jit(chained)
+    refs_d = jax.device_put(refs)
+    queries_d = jax.device_put(queries)
+    sink = int(jax.device_get(jchained(refs_d, queries_d)))  # compile
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        sink ^= int(jax.device_get(jchained(refs_d, queries_d)))
+    dt = (time.time() - t0) / reps
+
+    cells = float(V) * B * T * T
+    gcups = cells / dt / 1e9
+    print(f"chained {V} steps: {dt*1e3:.1f} ms "
+          f"({dt/V*1e3:.1f} ms/step, sink={sink})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "gact_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_CPU_KERNEL_GCUPS, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""darwin-compatible command line interface.
+
+Usage (positional args mirror the reference, darwin.cpp:451-507):
+
+    python -m darwin_tpu.cli <REF>.fasta <READS>.fasta NUM_RANGES \
+        [NUM_BLOCKS THREADS_PER_BLOCK] [options]
+
+NUM_RANGES plays the role of the reference's CPU_THREADS: reads are
+split into that many contiguous ranges, each producing its own
+``darwin.<i>.out`` file (darwin.cpp:174, 619-632) so existing merge
+tooling (`cat darwin.*.out | sort | uniq`) keeps working.  The optional
+NUM_BLOCKS/THREADS_PER_BLOCK pair is accepted for CLI compatibility and
+defines the device batch size as their product (darwin.cpp:504-508).
+
+Reads ``params.cfg`` from the working directory like the reference, or
+from --params.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from darwin_tpu.coding import seq_to_bytes
+from darwin_tpu.config import Params
+from darwin_tpu.engine.aligner import JaxTileAligner
+from darwin_tpu.engine.batch import run_gact_batch
+from darwin_tpu.engine.scoring import ScoreParams
+from darwin_tpu.engine.seqbank import SeqBank
+from darwin_tpu.golden.gact import format_record
+from darwin_tpu.index.genome import Genome
+from darwin_tpu.index.seed_table import SeedTable
+from darwin_tpu.io.fasta import parse_fasta, revcomp
+from darwin_tpu.pipeline import collect_calls
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="darwin-tpu",
+        description="TPU-native D-SOFT + GACT long-read overlapper")
+    p.add_argument("reference", help="reference FASTA")
+    p.add_argument("reads", help="reads FASTA")
+    p.add_argument("num_ranges", type=int, nargs="?", default=1,
+                   help="number of darwin.<i>.out output ranges")
+    p.add_argument("num_blocks", type=int, nargs="?", default=None)
+    p.add_argument("threads_per_block", type=int, nargs="?", default=None)
+    p.add_argument("--params", default="params.cfg",
+                   help="params.cfg path (reference-compatible INI)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="device tile-batch size (overrides blocks*tpb)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "lax"])
+    p.add_argument("--out-dir", default=".",
+                   help="directory for darwin.<i>.out files")
+    p.add_argument("--merged-out", default=None,
+                   help="also write a sorted-unique merged overlap file")
+    p.add_argument("--seed-table", default=None,
+                   help="seed table cache path (.npz); built if missing")
+    p.add_argument("--noscore", action="store_true",
+                   help="skip rescoring (reference NOSCORE build)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_argparser().parse_args(argv)
+    params = (Params.from_cfg(args.params) if Path(args.params).exists()
+              else Params())
+    same_file = args.reference == args.reads
+    print(f"same_file: {int(same_file)}")
+
+    if args.batch_size:
+        batch_size = args.batch_size
+    elif args.num_blocks and args.threads_per_block:
+        batch_size = args.num_blocks * args.threads_per_block
+    else:
+        batch_size = 512
+    print(f"Scores: match = {params.match}, mismatch = {params.mismatch},"
+          f" gap_open = {params.gap_open}, gap_extend = {params.gap_extend}")
+    print(f"Batch size: {batch_size}, output ranges: {args.num_ranges}")
+
+    t0 = time.time()
+    ref_records = parse_fasta(args.reference)
+    genome = Genome(ref_records, params.bin_size)
+    print(f"Reference length: {genome.total_length}, "
+          f"{len(ref_records)} pieces "
+          f"({(time.time() - t0) * 1e3:.0f} ms)")
+
+    t0 = time.time()
+    read_records = (ref_records if same_file
+                    else parse_fasta(args.reads))
+    print(f"Number of reads: {len(read_records)} "
+          f"({(time.time() - t0) * 1e3:.0f} ms)")
+
+    t0 = time.time()
+    if args.seed_table and Path(args.seed_table).exists():
+        table = SeedTable.load(args.seed_table)
+        print(f"Seed table loaded from {args.seed_table} "
+              f"({(time.time() - t0) * 1e3:.0f} ms)")
+    else:
+        table = SeedTable.build(genome.concat, params.seed_size,
+                                params.seed_occurence_multiple,
+                                params.bin_size, params.window_size)
+        if args.seed_table:
+            table.save(args.seed_table)
+        print(f"Seed table built: {len(table.pos)} minimizers "
+              f"({(time.time() - t0) * 1e3:.0f} ms)")
+
+    aligner = JaxTileAligner(
+        tile_size=params.tile_size,
+        early_terminate=params.early_terminate,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_extend=params.gap_extend,
+        backend=args.backend)
+    print(f"Aligner backend: {aligner.backend}")
+
+    fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
+    rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
+                        for r in read_records])
+    sp = ScoreParams(params.match, params.mismatch, params.gap_open,
+                     params.gap_extend)
+
+    num_reads = len(read_records)
+    nr = max(1, args.num_ranges)
+    per = -(-num_reads // nr)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    all_lines: list[str] = []
+
+    t_seed = 0.0
+    t_gact = 0.0
+    range_id = 0
+    for lo in range(0, num_reads, per):
+        hi = min(num_reads, lo + per)
+        lines: list[str] = []
+        for comp, bank in ((False, fwd_bank), (True, rev_bank)):
+            t0 = time.time()
+            calls = collect_calls(table, genome, bank, params,
+                                  read_ids=range(lo, hi))
+            t_seed += time.time() - t0
+            print(f"range {range_id} comp {int(comp)}: "
+                  f"{len(calls)} candidates")
+            t0 = time.time()
+            recs = run_gact_batch(
+                genome, bank, calls, tile_size=params.tile_size,
+                first_tile_score_threshold=(
+                    params.first_tile_score_threshold),
+                sp=sp, complement=comp, same_file=same_file,
+                aligner=aligner, batch_size=batch_size,
+                compute_score=not args.noscore)
+            t_gact += time.time() - t0
+            for r in recs:
+                lines.append(format_record(
+                    genome.names[r.ref_id], read_records[r.query_id].name,
+                    r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+        (out_dir / f"darwin.{range_id}.out").write_text(
+            "".join(line + "\n" for line in lines))
+        all_lines.extend(lines)
+        range_id += 1
+
+    print(f"Time finding seeds: {t_seed * 1e3:.0f} msec")
+    print(f"Time GACT calling: {t_gact * 1e3:.0f} msec")
+
+    if args.merged_out:
+        merged = sorted(set(all_lines))
+        Path(args.merged_out).write_text(
+            "".join(line + "\n" for line in merged))
+        print(f"Merged {len(all_lines)} records -> {len(merged)} unique "
+              f"in {args.merged_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,17 +1,23 @@
 """Test harness configuration.
 
 Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
-exercised without TPU hardware (jax.sharding over a host-platform mesh).
-Must run before any jax import.
+exercised without TPU hardware.  Note: this environment's axon
+sitecustomize force-registers the tunneled TPU platform and overrides
+JAX_PLATFORMS at interpreter start, so the env var alone is NOT enough —
+jax.config.update after import is authoritative.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("DARWIN_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
