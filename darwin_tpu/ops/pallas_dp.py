@@ -1,19 +1,27 @@
 """GACT tile DP as a Pallas TPU kernel.
 
-Semantic twin of align_tiles_jax (reference_dp.py) — same row-wavefront
-formulation, same outputs — engineered for the TPU memory hierarchy:
+Semantic twin of align_tiles_jax (reference_dp.py) — same outputs,
+same row-wavefront formulation — engineered for the TPU memory
+hierarchy:
 
 * grid = (batch_blocks, T/8): each step computes 8 sequentially
   dependent DP rows of one batch block (unrolled), writing one
   [BB, 8, TJP] direction-byte block; Mosaic pipelines the HBM writeback
   against the next step's compute.
-* DP state (m/i/d rows, shifted query, max trackers) lives in VMEM
-  scratch, persisting across the row axis of the grid and reset at
-  row-block 0.
-* The in-row query-gap cummax runs as a log2(TJP)-step shift-max scan
-  on the VPU.
-* All arithmetic is int32 (scores are bounded by +-tile_size, but the
-  VPU is 32-bit-lane; int16 packing is a future optimization).
+* DP state lives in VMEM scratch, persisting across the row axis of
+  the grid and reset at row-block 0.
+* ref arrives transposed ([T, B]) so each step loads its 8 ref chars
+  as a [8, BB] block and transposes once — no per-row gather.
+* max-cell tracking is deferred: per-lane running (bestH, bestI) with
+  h >= bestH updates reproduce the reference's row-major-last tie rule
+  (align.cpp:173-177) after a single per-block reduction at the last
+  step; likewise the anchor-corner score.
+* the in-row query-gap cummax runs as a log2-step shift-max scan on
+  the VPU.
+* scores use int16 when the scoring parameters allow (DP values are
+  bounded by ~T * max|param|; int16 halves the vector registers per
+  op), falling back to int32 otherwise.  The reference's -INF becomes
+  a finite sentinel with proven headroom against wraparound.
 
 Batch vectorizes across sublanes; lanes carry the query axis
 (TJP = T+1 rounded up to 128).
@@ -32,119 +40,160 @@ from darwin_tpu.ops.common import (GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I,
                                    NEG_INF, PAD_QUERY, PAD_REF)
 
 ROWS_PER_STEP = 8
+NEG16 = -20000  # int16 -INF sentinel; bounds checked in _score_dtype
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _shift_right(x, s, fill, lane):
-    """out[..., j] = x[..., j-s] for j >= s else fill (lane = iota)."""
-    return jnp.where(lane >= s, pltpu.roll(x, shift=s, axis=1),
-                     jnp.int32(fill))
+def _score_dtype(T: int, match: int, mismatch: int, gap_open: int,
+                 gap_extend: int):
+    """Score dtype for the DP state.
+
+    int16 would halve the vector registers per op (scores are bounded
+    by (T+2) * max|param|), but the v5e VPU rejects 16-bit iota and
+    comparisons ("Target does not support this comparison"), so int32
+    it is on this generation.  The plumbing stays dtype-parametric for
+    targets that do support int16.
+    """
+    del T, match, mismatch, gap_open, gap_extend
+    return jnp.int32, -NEG_INF
 
 
-def _make_kernel(TJP: int, match: int, mismatch: int,
-                 gap_open: int, gap_extend: int):
-    def kernel(ref_ref, query_ref, rlen_ref, qlen_ref,     # inputs
+def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
+                 gap_open: int, gap_extend: int, sdt, neg_inf: int):
+    n_row_blocks = T // ROWS_PER_STEP
+
+    def kernel(refT_ref, query_ref, rlen_ref, qlen_ref,    # inputs
                dir_ref, stats_ref,                          # outputs
-               m_s, i_s, d_s, qs_s):                        # scratch
+               m_s, i_s, d_s, qs_s, bh_s, bi_s, ph_s):      # scratch
         ib = pl.program_id(1)  # row block: DP rows ib*8+1 .. ib*8+8
         BB = m_s.shape[0]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BB, TJP), 1)
+        # 16-bit iota is unsupported in hardware; generate 32-bit, cast.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BB, TJP),
+                                        1).astype(sdt)
+
+        def c(v):  # scalar constant in the score dtype
+            return jnp.asarray(v, sdt)
+
+        def shift_right(x, s, fill):
+            # Concat-based lane shift: pltpu.roll rejects int16 operands
+            # and would need a lane mask anyway.
+            head = jnp.full((x.shape[0], s), fill, sdt)
+            return jnp.concatenate([head, x[:, :-s]], axis=1)
 
         @pl.when(ib == 0)
         def _init():
-            m_s[:] = jnp.zeros((BB, TJP), jnp.int32)
-            i_s[:] = jnp.full((BB, TJP), -NEG_INF, jnp.int32)
-            d_s[:] = jnp.full((BB, TJP), -NEG_INF, jnp.int32)
+            m_s[:] = jnp.zeros((BB, TJP), sdt)
+            i_s[:] = jnp.full((BB, TJP), neg_inf, sdt)
+            d_s[:] = jnp.full((BB, TJP), neg_inf, sdt)
             # qs[:, j] = query[:, j-1]
-            q = query_ref[:].astype(jnp.int32)
-            qs_s[:] = _shift_right(q, 1, 0, lane)
-            stats_ref[:] = jnp.zeros_like(stats_ref)
+            q = query_ref[:].astype(sdt)
+            qs_s[:] = shift_right(q, 1, 0)
+            bh_s[:] = jnp.full((BB, TJP), -1, sdt)
+            bi_s[:] = jnp.zeros((BB, TJP), sdt)
+            ph_s[:] = jnp.zeros((BB, TJP), sdt)
 
-        rlen = rlen_ref[:]            # [BB, 1]
-        qlen = qlen_ref[:]
+        rlen = rlen_ref[:].astype(sdt)      # [BB, 1]
+        qlen = qlen_ref[:].astype(sdt)
         qs = qs_s[:]
-        jvalid = (lane >= 1) & (lane <= qlen)
+
+        # 8 ref chars for this row block: [8, BB] -> [BB, 8].
+        rc8 = refT_ref[:].astype(sdt).T
 
         m_prev, i_prev, d_prev = m_s[:], i_s[:], d_s[:]
-        max_s = stats_ref[:, 0:1]
-        max_i = stats_ref[:, 1:2]
-        max_j = stats_ref[:, 2:3]
-        pos_s = stats_ref[:, 3:4]
+        best_h, best_i, pos_h = bh_s[:], bi_s[:], ph_s[:]
 
-        ref_i32 = ref_ref[:].astype(jnp.int32)
+        # Lane-derived constants, loop-invariant across the 8 rows.
+        u_base = c(gap_open) - lane * c(gap_extend)
+        d_base = (lane - c(1)) * c(gap_extend)
+        lane0 = lane == c(0)
+        jvalid = (lane >= c(1)) & (lane <= qlen)
 
         for r in range(ROWS_PER_STEP):
             i = ib * ROWS_PER_STEP + r  # DP row is i+1
-            # Per-item ref char at column i: dynamic single-lane slices
-            # are not lowerable on TPU, so select-and-reduce instead.
-            rc = jnp.sum(jnp.where(lane == i, ref_i32, 0), axis=1,
-                         keepdims=True)                      # [BB, 1]
-            match_s = jnp.where(qs == rc, match, mismatch)
+            ip1 = jax.lax.convert_element_type(i + 1, sdt)
+            rc = rc8[:, r: r + 1]                            # [BB, 1]
+            match_s = jnp.where(qs == rc, c(match), c(mismatch))
 
             prev3 = jnp.maximum(jnp.maximum(m_prev, i_prev), d_prev)
-            m_new = jnp.maximum(
-                _shift_right(prev3, 1, 0, lane) + match_s, 0)
-            m_new = jnp.where(lane == 0, 0, m_new)
+            m_new = jnp.maximum(shift_right(prev3, 1, 0) + match_s,
+                                c(0))
+            m_new = jnp.where(lane0, c(0), m_new)
 
-            ins_open = m_prev + gap_open
-            ins_ext = i_prev + gap_extend
+            ins_open = m_prev + c(gap_open)
+            ins_ext = i_prev + c(gap_extend)
             i_new = jnp.maximum(ins_open, ins_ext)
-            i_new = jnp.where(lane == 0, -NEG_INF, i_new)
+            i_new = jnp.where(lane0, c(neg_inf), i_new)
 
             # d[j] = (j-1)*ge + cummax_{l<=j-1}(m[l] + go - l*ge)
-            u = m_new + gap_open - lane * gap_extend
+            u = m_new + u_base
             s = 1
             while s < TJP:
-                u = jnp.maximum(u, _shift_right(u, s, -NEG_INF, lane))
+                u = jnp.maximum(u, shift_right(u, s, neg_inf))
                 s *= 2
-            d_new = _shift_right(u, 1, -NEG_INF, lane) \
-                + (lane - 1) * gap_extend
-            d_new = jnp.where(lane == 0, -NEG_INF, d_new)
+            d_new = shift_right(u, 1, neg_inf) + d_base
+            d_new = jnp.where(lane0, c(neg_inf), d_new)
 
             h = jnp.maximum(jnp.maximum(m_new, i_new),
-                            jnp.maximum(d_new, 0))
+                            jnp.maximum(d_new, c(0)))
 
-            del_open = _shift_right(m_new, 1, 0, lane) + gap_open
-            del_ext = _shift_right(d_new, 1, -NEG_INF, lane) + gap_extend
+            del_open = shift_right(m_new, 1, 0) + c(gap_open)
+            del_ext = shift_right(d_new, 1, neg_inf) + c(gap_extend)
 
             op = jnp.where(m_new >= i_new,
-                           jnp.where(m_new >= d_new, 3, 1),
-                           jnp.where(i_new >= d_new, 2, 1))
-            op = jnp.where((m_new <= 0) & (i_new <= 0) & (d_new <= 0),
-                           0, op)
-            op += jnp.where(ins_open >= ins_ext, GAP_OPEN_FLAG_I, 0)
-            op += jnp.where(del_open >= del_ext, GAP_OPEN_FLAG_D, 0)
+                           jnp.where(m_new >= d_new, c(3), c(1)),
+                           jnp.where(i_new >= d_new, c(2), c(1)))
+            # h == 0 iff max(m, i, d) <= 0: the reference ZERO rule.
+            op = jnp.where(h == c(0), c(0), op)
+            op = op + jnp.where(ins_open >= ins_ext,
+                                c(GAP_OPEN_FLAG_I), c(0))
+            op = op + jnp.where(del_open >= del_ext,
+                                c(GAP_OPEN_FLAG_D), c(0))
 
-            valid = jvalid & (i + 1 <= rlen)
-            dir_ref[:, r, :] = jnp.where(valid, op, 0).astype(jnp.uint8)
+            rvalid = ip1 <= rlen
+            valid = jvalid & rvalid
+            dir_ref[:, r, :] = jnp.where(valid, op, c(0)).astype(
+                jnp.uint8)
 
-            # Max tracking: last row-major cell wins at >=
-            # (align.cpp:173-177).
-            hv = jnp.where(jvalid, h, -1)
-            row_max = jnp.max(hv, axis=1, keepdims=True)
-            row_j = jnp.max(jnp.where(hv == row_max, lane, -1), axis=1,
-                            keepdims=True)
-            upd = (row_max >= max_s) & (i + 1 <= rlen)
-            max_s = jnp.where(upd, row_max, max_s)
-            max_i = jnp.where(upd, i + 1, max_i)
-            max_j = jnp.where(upd, row_j, max_j)
-
-            corner = jnp.sum(jnp.where(lane == qlen, h, 0), axis=1,
-                             keepdims=True)
-            pos_s = jnp.where(i + 1 == rlen, corner, pos_s)
+            # Deferred max tracking: per-lane last row attaining the
+            # column max (>= update = last wins, matching row-major).
+            upd = (h >= best_h) & rvalid
+            best_h = jnp.where(upd, h, best_h)
+            best_i = jnp.where(upd, ip1, best_i)
+            pos_h = jnp.where(ip1 == rlen, h, pos_h)
 
             m_prev, i_prev, d_prev = m_new, i_new, d_new
 
         m_s[:] = m_prev
         i_s[:] = i_prev
         d_s[:] = d_prev
-        stats_ref[:, 0:1] = max_s
-        stats_ref[:, 1:2] = max_i
-        stats_ref[:, 2:3] = max_j
-        stats_ref[:, 3:4] = pos_s
+        bh_s[:] = best_h
+        bi_s[:] = best_i
+        ph_s[:] = pos_h
+
+        @pl.when(ib == n_row_blocks - 1)
+        def _finalize():
+            lane32 = jax.lax.broadcasted_iota(jnp.int32, (BB, TJP), 1)
+            bh32 = best_h.astype(jnp.int32)
+            bi32 = best_i.astype(jnp.int32)
+            jv = (lane32 >= 1) & (lane32 <= qlen.astype(jnp.int32))
+            hv = jnp.where(jv, bh32, -1)
+            gmax = jnp.max(hv, axis=1, keepdims=True)
+            # Among max cells, reference keeps the row-major-last:
+            # largest i, then largest j (align.cpp:173, also the CUDA
+            # rule cuda_header.h:202-222).
+            key = jnp.where(hv == gmax, bi32 * (T + 2) + lane32, -1)
+            kmax = jnp.max(key, axis=1, keepdims=True)
+            found = kmax >= 0
+            stats_ref[:, 0:1] = jnp.where(found, gmax, 0)
+            stats_ref[:, 1:2] = jnp.where(found, kmax // (T + 2), 0)
+            stats_ref[:, 2:3] = jnp.where(found, kmax % (T + 2), 0)
+            stats_ref[:, 3:4] = jnp.sum(
+                jnp.where(lane32 == qlen.astype(jnp.int32),
+                          pos_h.astype(jnp.int32), 0),
+                axis=1, keepdims=True)
 
     return kernel
 
@@ -170,21 +219,23 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
     assert B % BB == 0, (B, BB)
     assert T % ROWS_PER_STEP == 0, T
     TJP = _round_up(T + 1, 128)
+    sdt_np, neg_inf = _score_dtype(T, match, mismatch, gap_open,
+                                   gap_extend)
 
-    # Lane-pad the sequences so tile byte j sits at lane j.
-    refp = jnp.pad(ref, ((0, 0), (0, TJP - T)), constant_values=PAD_REF)
+    refT = ref.T  # [T, B]: row block i loads its 8 chars as [8, BB]
     queryp = jnp.pad(query, ((0, 0), (0, TJP - T)),
                      constant_values=PAD_QUERY)
     rlen = ref_len.astype(jnp.int32).reshape(B, 1)
     qlen = query_len.astype(jnp.int32).reshape(B, 1)
 
     grid = (B // BB, T // ROWS_PER_STEP)
-    kernel = _make_kernel(TJP, match, mismatch, gap_open, gap_extend)
+    kernel = _make_kernel(T, TJP, match, mismatch, gap_open, gap_extend,
+                          sdt_np, neg_inf)
     dirm, stats = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BB, TJP), lambda b, i: (b, 0),
+            pl.BlockSpec((ROWS_PER_STEP, BB), lambda b, i: (i, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, TJP), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -205,19 +256,22 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
             jax.ShapeDtypeStruct((B, 4), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BB, TJP), jnp.int32),
-            pltpu.VMEM((BB, TJP), jnp.int32),
-            pltpu.VMEM((BB, TJP), jnp.int32),
-            pltpu.VMEM((BB, TJP), jnp.int32),
+            pltpu.VMEM((BB, TJP), sdt_np),  # m
+            pltpu.VMEM((BB, TJP), sdt_np),  # i
+            pltpu.VMEM((BB, TJP), sdt_np),  # d
+            pltpu.VMEM((BB, TJP), sdt_np),  # shifted query
+            pltpu.VMEM((BB, TJP), sdt_np),  # best_h
+            pltpu.VMEM((BB, TJP), sdt_np),  # best_i
+            pltpu.VMEM((BB, TJP), sdt_np),  # pos_h
         ],
         compiler_params=pltpu.CompilerParams(
-            # The unrolled 8-row body keeps several [BB, TJP] int32
+            # The unrolled 8-row body keeps several [BB, TJP]
             # temporaries live; allow Mosaic more scoped VMEM than the
             # 16M default (v5e has 128M physical VMEM).
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(refp, queryp, rlen, qlen)
+    )(refT, queryp, rlen, qlen)
 
     return dict(dir=dirm, max_score=stats[:, 0], max_i=stats[:, 1],
                 max_j=stats[:, 2], pos_score=stats[:, 3])
