@@ -1,0 +1,401 @@
+"""Fully on-device GACT batch engine.
+
+The host engine (engine/batch.py) round-trips tiles and op streams
+between host and device every iteration — fatal when the accelerator
+sits behind a high-latency link and wasteful everywhere.  This engine
+runs the ENTIRE GACT_Batch loop (reference gact.cpp:231-560) on device
+inside one lax.while_loop:
+
+* sequence banks (padded genome concat + read bank) are uploaded once;
+* the per-slot state machine (phase swap, emission, slot refill,
+  first-tile re-anchoring, termination) is expressed as masked vector
+  ops over the slot and call tables, with scatter updates — each
+  in-flight call lives in exactly one slot, so scatters never collide;
+* tiles are gathered on device from the banks, with forward tiles
+  read back-to-front via reversed gather indices (no separate flip);
+* the DP kernel (Pallas on TPU) and traceback run per iteration;
+* affine rescoring accumulates on device (same formulation as
+  engine/scoring.py, including the anchor-junction correction);
+* finished overlaps are scattered into a fixed [n_calls, 8] record
+  buffer; exactly one dispatch per direction, one download at the end.
+
+Record semantics are identical to the host engine, which is
+differentially tested against the reference binary; the device engine
+is in turn tested record-for-record against the host engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from darwin_tpu.engine.batch import SCORE_THRESHOLD, GactCalls, OverlapRecord
+from darwin_tpu.engine.seqbank import SeqBank
+from darwin_tpu.index.genome import Genome
+from darwin_tpu.ops.common import PAD_QUERY, PAD_REF
+from darwin_tpu.ops.pallas_dp import align_tiles_pallas
+from darwin_tpu.ops.reference_dp import align_tiles_jax
+from darwin_tpu.ops.traceback import traceback_jax
+
+I32 = jnp.int32
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class _Static:
+    """Static (compile-time) engine configuration."""
+    B: int
+    T: int
+    ET: int
+    Ncap: int
+    match: int
+    mismatch: int
+    gap_open: int
+    gap_extend: int
+    threshold: int
+    same_file: bool
+    compute_score: bool
+    backend: str
+    block_b: int
+
+
+def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
+    kw = dict(match=st.match, mismatch=st.mismatch,
+              gap_open=st.gap_open, gap_extend=st.gap_extend)
+    if st.backend == "pallas":
+        out = align_tiles_pallas(ref_t, query_t, rlen, qlen,
+                                 block_b=min(st.block_b, st.B), **kw)
+    else:
+        out = align_tiles_jax(ref_t, query_t, rlen, qlen, **kw)
+    ops, i_steps, j_steps = traceback_jax(
+        out["dir"], rlen, qlen, first_b, out["max_i"], out["max_j"],
+        early_terminate=st.ET)
+    score = jnp.where(first_b, out["max_score"], out["pos_score"])
+    return ops.T, i_steps, j_steps, score, out["max_i"], out["max_j"]
+
+
+def _score_ops(st: _Static, opsT, gconcat, qflat, gs, qs_off,
+               rp, qp, rev, prev_gap):
+    """Device port of engine/scoring.py::score_ops_batch."""
+    opsT = opsT.astype(I32)
+    valid = opsT != 0
+    is_gap = (opsT == 1) | (opsT == 2)
+    is_m = opsT == 3
+
+    ref_consume = is_m | (opsT == 2)
+    query_consume = is_m | (opsT == 1)
+    j_before = jnp.cumsum(ref_consume, axis=1) - ref_consume
+    i_before = jnp.cumsum(query_consume, axis=1) - query_consume
+
+    revc = rev[:, None]
+    ref_idx = jnp.where(revc, rp[:, None] - j_before - 1,
+                        rp[:, None] + j_before)
+    query_idx = jnp.where(revc, qp[:, None] - i_before - 1,
+                          qp[:, None] + i_before)
+    rc = jnp.take(gconcat, jnp.clip(gs[:, None] + ref_idx, 0,
+                                    len(gconcat) - 1), mode="clip")
+    qc = jnp.take(qflat, jnp.clip(qs_off[:, None] + query_idx, 0,
+                                  len(qflat) - 1), mode="clip")
+    m_contrib = jnp.where(rc == qc, st.match, st.mismatch)
+
+    prev_col_gap = jnp.concatenate(
+        [prev_gap[:, None], is_gap[:, :-1]], axis=1)
+    gap_contrib = jnp.where(prev_col_gap, st.gap_extend, st.gap_open)
+
+    delta = jnp.sum(jnp.where(is_m, m_contrib, gap_contrib) * valid,
+                    axis=1)
+    has_ops = valid.any(axis=1)
+    S = valid.shape[1]
+    last_idx = jnp.where(
+        has_ops, S - 1 - jnp.argmax(valid[:, ::-1], axis=1), 0)
+    last_gap = jnp.take_along_axis(is_gap, last_idx[:, None],
+                                   axis=1)[:, 0]
+    new_prev_gap = jnp.where(has_ops, last_gap, prev_gap)
+    first_col_gap = is_gap[:, 0] & valid[:, 0]
+    return delta, new_prev_gap, first_col_gap, has_ops
+
+
+def _make_engine_fn(st: _Static):
+    """Build the jitted whole-batch engine function."""
+    B, T, Ncap = st.B, st.T, st.Ncap
+    DUMP = Ncap  # scatter target for masked-off lanes
+
+    def scatter(arr, idx, val, mask):
+        return arr.at[jnp.where(mask, idx, DUMP)].set(val)
+
+    def engine(n_calls, gconcat, qflat,
+               rid, qid, g_start, g_len, q_start, q_len,
+               rpos0, qpos0):
+        # Call state (index Ncap = dump lane).
+        def padded(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((1,), fill, x.dtype)])
+
+        rpos = padded(rpos0)
+        qpos = padded(qpos0)
+        rbpos = padded(rpos0)
+        qbpos = padded(qpos0)
+        first = padded(jnp.ones(Ncap, bool))
+        reverse = padded(jnp.ones(Ncap, bool))
+        prev_gap = padded(jnp.zeros(Ncap, bool))
+        score = padded(jnp.zeros(Ncap, I32))
+        hp0 = padded(jnp.zeros(Ncap, bool))
+        hp1 = padded(jnp.zeros(Ncap, bool))
+        fg0 = padded(jnp.zeros(Ncap, bool))
+        fg1 = padded(jnp.zeros(Ncap, bool))
+
+        ridp = padded(rid)
+        qidp = padded(qid)
+        gsp = padded(g_start)
+        glp = padded(g_len)
+        qsp = padded(q_start)
+        qlp = padded(q_len)
+
+        slot_iota = jnp.arange(B, dtype=I32)
+        assign = jnp.where(slot_iota < n_calls, slot_iota, -1)
+        term = jnp.zeros(B, bool)
+
+        records = jnp.full((Ncap + 1, 8), -1, I32)
+        state = (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
+                 score, hp0, hp1, fg0, fg1, assign, term,
+                 jnp.minimum(jnp.asarray(B, I32), n_calls),
+                 jnp.asarray(0, I32), jnp.asarray(0, I32), records)
+
+        def cond(state):
+            calls_done = state[15]
+            return calls_done < n_calls
+
+        def body(state):
+            (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap, score,
+             hp0, hp1, fg0, fg1, assign, term, next_ci, calls_done,
+             nrec, records) = state
+
+            # ---- prepare (gact.cpp:298-410) -------------------------
+            act = assign >= 0
+            ci = jnp.where(act, assign, DUMP)
+            c_rev = reverse[ci]
+
+            # Phase swap: reverse extension finished.
+            swap = act & c_rev & ((rpos[ci] <= 0) | (qpos[ci] <= 0)
+                                  | term)
+            old_rpos, old_rbpos = rpos[ci], rbpos[ci]
+            old_qpos, old_qbpos = qpos[ci], qbpos[ci]
+            rpos = scatter(rpos, ci, old_rbpos, swap)
+            rbpos = scatter(rbpos, ci, old_rpos, swap)
+            qpos = scatter(qpos, ci, old_qbpos, swap)
+            qbpos = scatter(qbpos, ci, old_qpos, swap)
+            reverse = scatter(reverse, ci, jnp.zeros(B, bool), swap)
+            prev_gap = scatter(prev_gap, ci, jnp.zeros(B, bool), swap)
+            term = jnp.where(swap, False, term)
+
+            # Emission: forward extension finished (checked on the
+            # pre-swap reverse flag, like the reference's if/else).
+            fwd_done = act & ~c_rev & (
+                (rpos[ci] >= glp[ci]) | (qpos[ci] >= qlp[ci]) | term)
+            corr = hp0[ci] & hp1[ci] & fg0[ci] & fg1[ci]
+            fscore = score[ci] + jnp.where(
+                corr, st.gap_extend - st.gap_open, 0)
+            keep = fwd_done
+            if st.same_file:
+                keep = keep & (ridp[ci] != qidp[ci])
+            if st.compute_score:
+                keep = keep & (fscore > SCORE_THRESHOLD)
+            rows = jnp.stack(
+                [ridp[ci], qidp[ci], rbpos[ci], rpos[ci], qbpos[ci],
+                 qpos[ci],
+                 fscore if st.compute_score else jnp.zeros(B, I32),
+                 jnp.zeros(B, I32)], axis=1)
+            krank = jnp.cumsum(keep.astype(I32)) - keep
+            records = records.at[
+                jnp.where(keep, nrec + krank, Ncap)].set(rows)
+            nrec = nrec + keep.sum(dtype=I32)
+            calls_done = calls_done + fwd_done.sum(dtype=I32)
+
+            # Slot refill.
+            erank = jnp.cumsum(fwd_done.astype(I32)) - fwd_done
+            new_ci = next_ci + erank
+            got_new = fwd_done & (new_ci < n_calls)
+            assign = jnp.where(fwd_done,
+                               jnp.where(got_new, new_ci, -1), assign)
+            next_ci = jnp.minimum(
+                n_calls, next_ci + fwd_done.sum(dtype=I32))
+            term = jnp.where(fwd_done, False, term)
+            # Fresh calls anchored at an edge skip the reverse phase.
+            fci = jnp.where(got_new, new_ci, DUMP)
+            fresh_skip = got_new & ((rpos[fci] <= 0) | (qpos[fci] <= 0))
+            reverse = scatter(reverse, fci, jnp.zeros(B, bool),
+                              fresh_skip)
+            rbpos = scatter(rbpos, fci, rpos[fci], fresh_skip)
+            qbpos = scatter(qbpos, fci, qpos[fci], fresh_skip)
+
+            # ---- tile gather ----------------------------------------
+            act2 = assign >= 0
+            ci2 = jnp.where(act2, assign, DUMP)
+            rev2 = reverse[ci2]
+            p_r = rpos[ci2]
+            p_q = qpos[ci2]
+            first_b = first[ci2] & act2
+
+            rl = jnp.where(rev2, jnp.minimum(p_r, T),
+                           jnp.minimum(T, glp[ci2] - p_r))
+            ql = jnp.where(rev2, jnp.minimum(p_q, T),
+                           jnp.minimum(T, qlp[ci2] - p_q))
+            rl = jnp.where(act2, jnp.maximum(rl, 0), 0)
+            ql = jnp.where(act2, jnp.maximum(ql, 0), 0)
+
+            k = jnp.arange(T, dtype=I32)[None, :]
+            # Reverse tiles read [pos-rl, pos) forward; forward tiles
+            # read [pos, pos+rl) back-to-front (align.cpp:130 order).
+            ridx = jnp.where(rev2[:, None],
+                             (p_r - rl)[:, None] + k,
+                             (p_r + rl)[:, None] - 1 - k)
+            qidx = jnp.where(rev2[:, None],
+                             (p_q - ql)[:, None] + k,
+                             (p_q + ql)[:, None] - 1 - k)
+            ref_t = jnp.where(
+                k < rl[:, None],
+                jnp.take(gconcat, jnp.clip(gsp[ci2][:, None] + ridx, 0,
+                                           len(gconcat) - 1),
+                         mode="clip"),
+                jnp.uint8(PAD_REF))
+            query_t = jnp.where(
+                k < ql[:, None],
+                jnp.take(qflat, jnp.clip(qsp[ci2][:, None] + qidx, 0,
+                                         len(qflat) - 1), mode="clip"),
+                jnp.uint8(PAD_QUERY))
+
+            # ---- align ----------------------------------------------
+            opsT, i_steps, j_steps, tscore, max_i, max_j = _align(
+                st, ref_t, query_t, rl, ql, first_b)
+
+            # ---- postprocess (gact.cpp:427-550) ---------------------
+            ra_r = jnp.where(rev2, p_r - rl + max_i, p_r + rl - max_i)
+            ra_q = jnp.where(rev2, p_q - ql + max_j, p_q + ql - max_j)
+            rp_t = jnp.where(first_b, ra_r, p_r)
+            qp_t = jnp.where(first_b, ra_q, p_q)
+            thr_fail = first_b & (tscore < st.threshold) & act2
+            apply = act2 & ~thr_fail
+
+            # First reverse tiles re-anchor the begin positions.
+            fb_rev = first_b & rev2
+            rbpos = scatter(rbpos, ci2, rp_t, fb_rev)
+            qbpos = scatter(qbpos, ci2, qp_t, fb_rev)
+
+            opsT = opsT * apply[:, None]
+            if st.compute_score:
+                delta, new_pg, first_gap, has_ops = _score_ops(
+                    st, opsT, gconcat, qflat, gsp[ci2], qsp[ci2],
+                    rp_t, qp_t, rev2, prev_gap[ci2])
+                score = scatter(score, ci2, score[ci2] + delta, apply)
+                prev_gap = scatter(prev_gap, ci2, new_pg, apply)
+            else:
+                has_ops = (opsT != 0).any(axis=1)
+                first_gap = jnp.zeros(B, bool)
+
+            # Phase bookkeeping for the junction correction.
+            new0 = apply & has_ops & rev2 & ~hp0[ci2]
+            new1 = apply & has_ops & ~rev2 & ~hp1[ci2]
+            fg0 = scatter(fg0, ci2, first_gap, new0)
+            fg1 = scatter(fg1, ci2, first_gap, new1)
+            hp0 = scatter(hp0, ci2, jnp.ones(B, bool), new0)
+            hp1 = scatter(hp1, ci2, jnp.ones(B, bool), new1)
+
+            first = scatter(first, ci2, jnp.zeros(B, bool),
+                            apply & has_ops)
+
+            i_steps = jnp.where(apply, i_steps, 0)
+            j_steps = jnp.where(apply, j_steps, 0)
+            nr = jnp.where(rev2, rp_t - i_steps, rp_t + i_steps)
+            nq = jnp.where(rev2, qp_t - j_steps, qp_t + j_steps)
+            upd_pos = apply | thr_fail
+            rpos = scatter(rpos, ci2, jnp.where(apply, nr, rp_t),
+                           upd_pos)
+            qpos = scatter(qpos, ci2, jnp.where(apply, nq, qp_t),
+                           upd_pos)
+            term = term | thr_fail | (
+                apply & ((i_steps == 0) | (j_steps == 0)))
+
+            return (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
+                    score, hp0, hp1, fg0, fg1, assign, term, next_ci,
+                    calls_done, nrec, records)
+
+        state = jax.lax.while_loop(cond, body, state)
+        return state[17][:Ncap], state[16]
+
+    return jax.jit(engine)
+
+
+class DeviceGactEngine:
+    """One-dispatch-per-direction GACT engine with device-resident
+    sequence banks."""
+
+    def __init__(self, genome: Genome, queries: SeqBank, *,
+                 tile_size: int, early_terminate: int,
+                 first_tile_score_threshold: int, match: int,
+                 mismatch: int, gap_open: int, gap_extend: int,
+                 same_file: bool, batch_size: int = 256,
+                 compute_score: bool = True, backend: str = "auto",
+                 block_b: int = 256):
+        if backend == "auto":
+            from darwin_tpu.engine.aligner import default_backend
+            backend = default_backend()
+        if backend == "pallas":
+            bb = min(block_b, batch_size)
+            batch_size = -(-batch_size // bb) * bb
+        self.genome = genome
+        self.queries = queries
+        self._static = _Static(
+            B=batch_size, T=tile_size, ET=early_terminate, Ncap=0,
+            match=match, mismatch=mismatch, gap_open=gap_open,
+            gap_extend=gap_extend, threshold=first_tile_score_threshold,
+            same_file=same_file, compute_score=compute_score,
+            backend=backend, block_b=block_b)
+        self._gconcat = jax.device_put(genome.concat)
+        self._qflat = jax.device_put(queries.flat)
+        self._g_start_all = (genome.chr_id_to_start_bin
+                             * genome.bin_size).astype(np.int32)
+        self._fns: dict[int, object] = {}
+
+    def run(self, calls: GactCalls, complement: bool
+            ) -> list[OverlapRecord]:
+        N = len(calls)
+        if N == 0:
+            return []
+        Ncap = _bucket(N)
+        st = dataclasses.replace(self._static, Ncap=Ncap)
+        key = Ncap
+        if key not in self._fns:
+            self._fns[key] = _make_engine_fn(st)
+        fn = self._fns[key]
+
+        def pad(x, fill=0):
+            return np.concatenate(
+                [x.astype(np.int32),
+                 np.full(Ncap - N, fill, np.int32)])
+
+        rid = calls.ref_id.astype(np.int64)
+        qid = calls.query_id.astype(np.int64)
+        records, nrec = jax.device_get(fn(
+            np.int32(N), self._gconcat, self._qflat,
+            pad(rid), pad(qid),
+            pad(self._g_start_all[rid]),
+            pad(self.genome.piece_lengths[rid].astype(np.int32)),
+            pad(self.queries.starts[qid].astype(np.int32)),
+            pad(self.queries.lengths[qid].astype(np.int32)),
+            pad(calls.ref_pos), pad(calls.query_pos)))
+        out = []
+        for row in np.asarray(records[: int(nrec)]):
+            out.append(OverlapRecord(
+                int(row[0]), int(row[1]), int(row[2]), int(row[3]),
+                int(row[4]), int(row[5]), int(row[6]), complement))
+        return out

@@ -59,19 +59,21 @@ def collect_calls(table: SeedTable, genome: Genome, queries: SeqBank,
 def run_pipeline(ref_records: list[FastaRecord],
                  read_records: list[FastaRecord], params: Params,
                  same_file: bool, *, batch_size: int = 512,
-                 aligner=None, table: SeedTable | None = None
-                 ) -> PipelineResult:
+                 aligner=None, table: SeedTable | None = None,
+                 engine: str = "host", backend: str = "auto",
+                 compute_score: bool = True) -> PipelineResult:
     genome = Genome(ref_records, params.bin_size)
     if table is None:
         table = SeedTable.build(genome.concat, params.seed_size,
                                 params.seed_occurence_multiple,
                                 params.bin_size, params.window_size)
-    if aligner is None:
+    if aligner is None and engine == "host":
         aligner = JaxTileAligner(
             tile_size=params.tile_size,
             early_terminate=params.early_terminate,
             match=params.match, mismatch=params.mismatch,
-            gap_open=params.gap_open, gap_extend=params.gap_extend)
+            gap_open=params.gap_open, gap_extend=params.gap_extend,
+            backend=backend)
 
     fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
     rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
@@ -84,11 +86,26 @@ def run_pipeline(ref_records: list[FastaRecord],
     for comp, bank in ((False, fwd_bank), (True, rev_bank)):
         calls = collect_calls(table, genome, bank, params)
         counts.append(len(calls))
-        recs = run_gact_batch(
-            genome, bank, calls, tile_size=params.tile_size,
-            first_tile_score_threshold=params.first_tile_score_threshold,
-            sp=sp, complement=comp, same_file=same_file,
-            aligner=aligner, batch_size=batch_size)
+        if engine == "device":
+            from darwin_tpu.engine.device_batch import DeviceGactEngine
+            dev = DeviceGactEngine(
+                genome, bank, tile_size=params.tile_size,
+                early_terminate=params.early_terminate,
+                first_tile_score_threshold=(
+                    params.first_tile_score_threshold),
+                match=params.match, mismatch=params.mismatch,
+                gap_open=params.gap_open, gap_extend=params.gap_extend,
+                same_file=same_file, batch_size=batch_size,
+                compute_score=compute_score, backend=backend)
+            recs = dev.run(calls, comp)
+        else:
+            recs = run_gact_batch(
+                genome, bank, calls, tile_size=params.tile_size,
+                first_tile_score_threshold=(
+                    params.first_tile_score_threshold),
+                sp=sp, complement=comp, same_file=same_file,
+                aligner=aligner, batch_size=batch_size,
+                compute_score=compute_score)
         for r in recs:
             records.append(format_record(
                 genome.names[r.ref_id], read_records[r.query_id].name,

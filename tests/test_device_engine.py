@@ -1,0 +1,23 @@
+"""On-device engine vs reference golden outputs (CPU backend)."""
+
+import pytest
+
+from darwin_tpu.config import Params
+from darwin_tpu.io.fasta import parse_fasta
+from darwin_tpu.pipeline import run_pipeline
+
+
+@pytest.mark.parametrize("fixture,batch", [("tiny", 32), ("tiny", 8),
+                                           ("noisy", 64)])
+@pytest.mark.slow
+def test_device_engine_matches_reference(data_dir, fixture, batch):
+    d = data_dir / fixture
+    params = Params.from_cfg(d / "params.cfg")
+    reads = parse_fasta(d / "reads.fasta")
+    result = run_pipeline(reads, reads, params, same_file=True,
+                          batch_size=batch, engine="device",
+                          backend="lax")
+    want = set((d / "out.darwin").read_text().splitlines())
+    got = set(result.records)
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
