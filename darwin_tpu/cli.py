@@ -52,6 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="device tile-batch size (overrides blocks*tpb)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "pallas", "lax"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "device", "host"],
+                   help="device = whole GACT loop on the accelerator "
+                        "(default on TPU); host = per-iteration batches")
+    p.add_argument("--jax-cache", default=None,
+                   help="enable the persistent JAX compilation cache")
     p.add_argument("--out-dir", default=".",
                    help="directory for darwin.<i>.out files")
     p.add_argument("--merged-out", default=None,
@@ -65,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.jax_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     params = (Params.from_cfg(args.params) if Path(args.params).exists()
               else Params())
     same_file = args.reference == args.reads
@@ -107,13 +117,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Seed table built: {len(table.pos)} minimizers "
               f"({(time.time() - t0) * 1e3:.0f} ms)")
 
-    aligner = JaxTileAligner(
-        tile_size=params.tile_size,
-        early_terminate=params.early_terminate,
-        match=params.match, mismatch=params.mismatch,
-        gap_open=params.gap_open, gap_extend=params.gap_extend,
-        backend=args.backend)
-    print(f"Aligner backend: {aligner.backend}")
+    engine = args.engine
+    if engine == "auto":
+        from darwin_tpu.engine.aligner import default_backend
+        engine = "device" if default_backend() == "pallas" else "host"
+    aligner = None
+    if engine == "host":
+        aligner = JaxTileAligner(
+            tile_size=params.tile_size,
+            early_terminate=params.early_terminate,
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_extend=params.gap_extend,
+            backend=args.backend)
+    print(f"Engine: {engine}"
+          + (f" (backend {aligner.backend})" if aligner else ""))
 
     fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
     rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
@@ -142,13 +159,28 @@ def main(argv: list[str] | None = None) -> int:
             print(f"range {range_id} comp {int(comp)}: "
                   f"{len(calls)} candidates")
             t0 = time.time()
-            recs = run_gact_batch(
-                genome, bank, calls, tile_size=params.tile_size,
-                first_tile_score_threshold=(
-                    params.first_tile_score_threshold),
-                sp=sp, complement=comp, same_file=same_file,
-                aligner=aligner, batch_size=batch_size,
-                compute_score=not args.noscore)
+            if engine == "device":
+                from darwin_tpu.engine.device_batch import DeviceGactEngine
+                dev = DeviceGactEngine(
+                    genome, bank, tile_size=params.tile_size,
+                    early_terminate=params.early_terminate,
+                    first_tile_score_threshold=(
+                        params.first_tile_score_threshold),
+                    match=params.match, mismatch=params.mismatch,
+                    gap_open=params.gap_open,
+                    gap_extend=params.gap_extend, same_file=same_file,
+                    batch_size=batch_size,
+                    compute_score=not args.noscore,
+                    backend=args.backend)
+                recs = dev.run(calls, comp)
+            else:
+                recs = run_gact_batch(
+                    genome, bank, calls, tile_size=params.tile_size,
+                    first_tile_score_threshold=(
+                        params.first_tile_score_threshold),
+                    sp=sp, complement=comp, same_file=same_file,
+                    aligner=aligner, batch_size=batch_size,
+                    compute_score=not args.noscore)
             t_gact += time.time() - t0
             for r in recs:
                 lines.append(format_record(

@@ -43,6 +43,11 @@ from darwin_tpu.ops.traceback import traceback_jax
 
 I32 = jnp.int32
 
+# Engine functions are cached globally: tracing + lowering the
+# while_loop body is expensive (seconds), and jax.jit's cache keys on
+# function identity, so per-instance closures would retrace every run.
+_ENGINE_FN_CACHE: dict[tuple, object] = {}
+
 
 def _bucket(n: int, lo: int = 64) -> int:
     b = lo
@@ -360,11 +365,19 @@ class DeviceGactEngine:
             gap_extend=gap_extend, threshold=first_tile_score_threshold,
             same_file=same_file, compute_score=compute_score,
             backend=backend, block_b=block_b)
-        self._gconcat = jax.device_put(genome.concat)
-        self._qflat = jax.device_put(queries.flat)
+        # Pad banks to power-of-two buckets so compiled engines are
+        # reusable across datasets of similar size (gathers are clipped
+        # and masked, so padding bytes are never observed).
+        gpad = _bucket(max(1, len(genome.concat)), 4096)
+        qpad = _bucket(max(1, len(queries.flat)), 4096)
+        self._gconcat = jax.device_put(np.pad(
+            genome.concat, (0, gpad - len(genome.concat)),
+            constant_values=PAD_REF))
+        self._qflat = jax.device_put(np.pad(
+            queries.flat, (0, qpad - len(queries.flat)),
+            constant_values=PAD_QUERY))
         self._g_start_all = (genome.chr_id_to_start_bin
                              * genome.bin_size).astype(np.int32)
-        self._fns: dict[int, object] = {}
 
     def run(self, calls: GactCalls, complement: bool
             ) -> list[OverlapRecord]:
@@ -373,10 +386,11 @@ class DeviceGactEngine:
             return []
         Ncap = _bucket(N)
         st = dataclasses.replace(self._static, Ncap=Ncap)
-        key = Ncap
-        if key not in self._fns:
-            self._fns[key] = _make_engine_fn(st)
-        fn = self._fns[key]
+        key = (dataclasses.astuple(st), len(self._gconcat),
+               len(self._qflat))
+        fn = _ENGINE_FN_CACHE.get(key)
+        if fn is None:
+            fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(st)
 
         def pad(x, fill=0):
             return np.concatenate(
