@@ -66,6 +66,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="seed table cache path (.npz); built if missing")
     p.add_argument("--noscore", action="store_true",
                    help="skip rescoring (reference NOSCORE build)")
+    p.add_argument("--threads", type=int, default=None,
+                   help="host threads for the native D-SOFT engine "
+                        "(default: all cores)")
     return p
 
 
@@ -154,7 +157,8 @@ def main(argv: list[str] | None = None) -> int:
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
             t0 = time.time()
             calls = collect_calls(table, genome, bank, params,
-                                  read_ids=range(lo, hi))
+                                  read_ids=range(lo, hi),
+                                  num_threads=args.threads)
             t_seed += time.time() - t0
             print(f"range {range_id} comp {int(comp)}: "
                   f"{len(calls)} candidates")

@@ -47,7 +47,15 @@ class SeedTable:
         ref_size = len(ref_seq)
         kmer_max_occurence = seed_occurence_multiple * (
             1 + (ref_size >> (2 * kmer_size)))
-        minimizers = np.sort(ref_minimizers(ref_seq, kmer_size, window_size))
+        from darwin_tpu import native
+        if native.available():
+            from darwin_tpu.coding import seq_to_bytes
+            b = (seq_to_bytes(ref_seq) if isinstance(ref_seq, str)
+                 else ref_seq)
+            minimizers = native.build_table_keys(b, kmer_size, window_size)
+        else:
+            minimizers = np.sort(
+                ref_minimizers(ref_seq, kmer_size, window_size))
         return cls(
             (minimizers >> np.uint64(32)).astype(np.uint32),
             (minimizers & np.uint64(0xFFFFFFFF)).astype(np.uint32),

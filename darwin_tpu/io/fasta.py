@@ -50,7 +50,22 @@ def split_fields(descrip_line: str) -> list[str]:
     return fields
 
 
-def parse_fasta(path: str | Path) -> list[FastaRecord]:
+def parse_fasta(path: str | Path, *, native: bool | None = None
+                ) -> list[FastaRecord]:
+    """Parse a FASTA file into records.
+
+    ``native=None`` (default) uses the C++ loader when available and
+    falls back to this pure parser — on parse errors too, so error
+    messages always come from the reference-parity path below.
+    """
+    if native is None or native:
+        from darwin_tpu import native as nat
+        if nat.available():
+            records = nat.parse_fasta(path)
+            if records is not None:
+                return records
+        elif native:
+            raise RuntimeError("native FASTA loader unavailable")
     records: list[FastaRecord] = []
     fields: list[str] | None = None
     chunks: list[str] = []

@@ -33,10 +33,33 @@ class PipelineResult:
 
 
 def collect_calls(table: SeedTable, genome: Genome, queries: SeqBank,
-                  params: Params, read_ids=None) -> GactCalls:
-    """Run D-SOFT for every query and decode hits to GACT anchors."""
-    rid, qid, rpos, qpos = [], [], [], []
+                  params: Params, read_ids=None,
+                  num_threads: int | None = None) -> GactCalls:
+    """Run D-SOFT for every query and decode hits to GACT anchors.
+
+    Uses the multithreaded native host engine when available (reads are
+    data-parallel across host threads, mirroring the reference driver's
+    per-thread read split, darwin.cpp:619-632); falls back to the
+    vectorized NumPy D-SOFT per read.
+    """
     ids = range(len(queries.lengths)) if read_ids is None else read_ids
+    from darwin_tpu import native
+    if native.available():
+        ids_arr = np.asarray(list(ids), dtype=np.int64)
+        counts, hits, offsets = native.dsoft_batch(
+            table.hashes, table.pos, table.k, table.w, table.bin_size,
+            table.ref_size, table.kmer_max_occurence, queries.flat,
+            queries.starts, queries.lengths, ids_arr,
+            params.num_seeds, params.threshold, params.max_candidates,
+            num_threads)
+        if len(hits) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return GactCalls(z, z, z, z)
+        chr_id, local = genome.decode_hits(hits)
+        qid = np.repeat(ids_arr, counts)
+        return GactCalls(chr_id, qid, local, offsets)
+
+    rid, qid, rpos, qpos = [], [], [], []
     for k in ids:
         seq = queries.slice(k, 0, int(queries.lengths[k]))
         hits, offsets = dsoft(table, seq, params.num_seeds,
