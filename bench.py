@@ -63,7 +63,7 @@ def main() -> None:
 
     def one_step(r, q):
         if backend == "pallas":
-            out = align_tiles_pallas(r, q, rlen, qlen, block_b=256, **kw)
+            out = align_tiles_pallas(r, q, rlen, qlen, block_b=128, **kw)
         else:
             out = align_tiles_jax(r, q, rlen, qlen, **kw)
         ops, i_s, j_s = traceback_jax(out["dir"], rlen, qlen, firsts,

@@ -39,7 +39,7 @@ class JaxTileAligner:
     def __init__(self, *, tile_size: int, early_terminate: int,
                  match: int, mismatch: int, gap_open: int,
                  gap_extend: int, backend: str = "auto",
-                 block_b: int = 256):
+                 block_b: int = 128):
         if backend == "auto":
             backend = default_backend()
         self.backend = backend

@@ -350,7 +350,7 @@ class DeviceGactEngine:
                  mismatch: int, gap_open: int, gap_extend: int,
                  same_file: bool, batch_size: int = 256,
                  compute_score: bool = True, backend: str = "auto",
-                 block_b: int = 256):
+                 block_b: int = 128):
         if backend == "auto":
             from darwin_tpu.engine.aligner import default_backend
             backend = default_backend()

@@ -67,7 +67,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 
     def kernel(refT_ref, query_ref, rlen_ref, qlen_ref,    # inputs
                dir_ref, stats_ref,                          # outputs
-               m_s, i_s, d_s, qs_s, bh_s, bi_s, ph_s):      # scratch
+               m_s, i_s, d_s, qs_s, bh_s, bi_s, ph_s, p3_s):  # scratch
         ib = pl.program_id(1)  # row block: DP rows ib*8+1 .. ib*8+8
         BB = m_s.shape[0]
         # 16-bit iota is unsupported in hardware; generate 32-bit, cast.
@@ -94,6 +94,8 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             bh_s[:] = jnp.full((BB, TJP), -1, sdt)
             bi_s[:] = jnp.zeros((BB, TJP), sdt)
             ph_s[:] = jnp.zeros((BB, TJP), sdt)
+            # max(m, i, d) of DP row 0 = max(0, -inf, -inf) = 0.
+            p3_s[:] = jnp.zeros((BB, TJP), sdt)
 
         rlen = rlen_ref[:].astype(sdt)      # [BB, 1]
         qlen = qlen_ref[:].astype(sdt)
@@ -104,12 +106,14 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 
         m_prev, i_prev, d_prev = m_s[:], i_s[:], d_s[:]
         best_h, best_i, pos_h = bh_s[:], bi_s[:], ph_s[:]
+        prev3 = p3_s[:]  # max(m, i, d) of the previous row, carried
 
         # Lane-derived constants, loop-invariant across the 8 rows.
         u_base = c(gap_open) - lane * c(gap_extend)
         d_base = (lane - c(1)) * c(gap_extend)
         lane0 = lane == c(0)
         jvalid = (lane >= c(1)) & (lane <= qlen)
+        go_minus_ge = c(gap_open - gap_extend)
 
         for r in range(ROWS_PER_STEP):
             i = ib * ROWS_PER_STEP + r  # DP row is i+1
@@ -117,7 +121,6 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             rc = rc8[:, r: r + 1]                            # [BB, 1]
             match_s = jnp.where(qs == rc, c(match), c(mismatch))
 
-            prev3 = jnp.maximum(jnp.maximum(m_prev, i_prev), d_prev)
             m_new = jnp.maximum(shift_right(prev3, 1, 0) + match_s,
                                 c(0))
             m_new = jnp.where(lane0, c(0), m_new)
@@ -136,11 +139,16 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             d_new = shift_right(u, 1, neg_inf) + d_base
             d_new = jnp.where(lane0, c(neg_inf), d_new)
 
-            h = jnp.maximum(jnp.maximum(m_new, i_new),
-                            jnp.maximum(d_new, c(0)))
+            mx3 = jnp.maximum(jnp.maximum(m_new, i_new), d_new)
+            h = jnp.maximum(mx3, c(0))
 
-            del_open = shift_right(m_new, 1, 0) + c(gap_open)
-            del_ext = shift_right(d_new, 1, neg_inf) + c(gap_extend)
+            # flag_D compares del_open = shift(m_new)+go against
+            # del_ext = shift(d_new)+ge; both operands are shifted by
+            # one lane, so compare unshifted and shift the boolean —
+            # saves a full-width shift+add pair.  Head lane: d is -inf,
+            # open wins, so fill with 1.
+            fd_u = (m_new + go_minus_ge >= d_new).astype(sdt)
+            flag_d = shift_right(fd_u, 1, 1) != c(0)
 
             op = jnp.where(m_new >= i_new,
                            jnp.where(m_new >= d_new, c(3), c(1)),
@@ -149,8 +157,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             op = jnp.where(h == c(0), c(0), op)
             op = op + jnp.where(ins_open >= ins_ext,
                                 c(GAP_OPEN_FLAG_I), c(0))
-            op = op + jnp.where(del_open >= del_ext,
-                                c(GAP_OPEN_FLAG_D), c(0))
+            op = op + jnp.where(flag_d, c(GAP_OPEN_FLAG_D), c(0))
 
             rvalid = ip1 <= rlen
             valid = jvalid & rvalid
@@ -165,6 +172,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             pos_h = jnp.where(ip1 == rlen, h, pos_h)
 
             m_prev, i_prev, d_prev = m_new, i_new, d_new
+            prev3 = mx3
 
         m_s[:] = m_prev
         i_s[:] = i_prev
@@ -172,6 +180,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         bh_s[:] = best_h
         bi_s[:] = best_i
         ph_s[:] = pos_h
+        p3_s[:] = prev3
 
         @pl.when(ib == n_row_blocks - 1)
         def _finalize():
@@ -205,7 +214,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
                        ref_len: jnp.ndarray, query_len: jnp.ndarray,
                        *, match: int, mismatch: int, gap_open: int,
-                       gap_extend: int, block_b: int = 256,
+                       gap_extend: int, block_b: int = 128,
                        interpret: bool = False):
     """Same contract as align_tiles_jax; B must divide by block_b and
     T by 8 (the engine's tile geometry guarantees both).
@@ -263,6 +272,7 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
             pltpu.VMEM((BB, TJP), sdt_np),  # best_h
             pltpu.VMEM((BB, TJP), sdt_np),  # best_i
             pltpu.VMEM((BB, TJP), sdt_np),  # pos_h
+            pltpu.VMEM((BB, TJP), sdt_np),  # prev3 = max(m, i, d)
         ],
         compiler_params=pltpu.CompilerParams(
             # The unrolled 8-row body keeps several [BB, TJP]

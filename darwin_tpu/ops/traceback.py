@@ -44,7 +44,10 @@ def traceback_jax(dirm: jnp.ndarray, ref_len: jnp.ndarray,
     ET = early_terminate
     S = 2 * ET - 1
     dt = jnp.int32
-    flat = dirm.reshape(B, T * C).astype(dt)
+    # Keep the dir matrix uint8 and widen only the gathered column:
+    # widening [B, T*C] up front would materialize ~4x the matrix's
+    # footprint in HBM every step (measured ~5 ms/step at B=2048,T=320).
+    flat = dirm.reshape(B, T * C)
 
     def cell(i, j):
         # DP coordinates; row 0 / col 0 are implicit ZERO.  Clip
@@ -53,7 +56,7 @@ def traceback_jax(dirm: jnp.ndarray, ref_len: jnp.ndarray,
         # never reads again either).
         idx = jnp.clip(i - 1, 0, T - 1) * C + jnp.clip(j, 0, C - 1)
         v = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
-        return jnp.where((i >= 1) & (j >= 1), v, 0)
+        return jnp.where((i >= 1) & (j >= 1), v.astype(dt), 0)
 
     i0 = jnp.where(first, max_i, ref_len).astype(dt)
     j0 = jnp.where(first, max_j, query_len).astype(dt)

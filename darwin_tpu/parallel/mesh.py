@@ -41,7 +41,7 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 def sharded_tile_step(mesh: Mesh, *, early_terminate: int, match: int,
                       mismatch: int, gap_open: int, gap_extend: int,
-                      backend: str = "auto", block_b: int = 256):
+                      backend: str = "auto", block_b: int = 128):
     """Jitted batch-sharded DP + traceback step.
 
     Returns fn(ref_tiles[B,T], query_tiles, rlens, qlens, firsts) with B
@@ -90,7 +90,7 @@ class ShardedTileAligner:
     def __init__(self, mesh: Mesh, *, tile_size: int,
                  early_terminate: int, match: int, mismatch: int,
                  gap_open: int, gap_extend: int, backend: str = "auto",
-                 block_b: int = 256):
+                 block_b: int = 128):
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         self.tile_size = tile_size
