@@ -69,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=None,
                    help="host threads for the native D-SOFT engine "
                         "(default: all cores)")
+    p.add_argument("--dsoft", default="host",
+                   choices=["host", "device"],
+                   help="seeding engine: host = native C++/NumPy, "
+                        "device = on-device fixed-shape D-SOFT")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host mode: this process aligns its "
                         "jax.process_index() read range and writes "
@@ -172,9 +176,15 @@ def main(argv: list[str] | None = None) -> int:
         lines: list[str] = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
             t0 = time.time()
-            calls = collect_calls(table, genome, bank, params,
-                                  read_ids=range(lo, hi),
-                                  num_threads=args.threads)
+            if args.dsoft == "device":
+                from darwin_tpu.pipeline import collect_calls_device
+                calls = collect_calls_device(table, genome, bank,
+                                             params,
+                                             read_ids=range(lo, hi))
+            else:
+                calls = collect_calls(table, genome, bank, params,
+                                      read_ids=range(lo, hi),
+                                      num_threads=args.threads)
             t_seed += time.time() - t0
             print(f"range {range_id} comp {int(comp)}: "
                   f"{len(calls)} candidates")

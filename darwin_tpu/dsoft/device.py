@@ -1,0 +1,245 @@
+"""On-device D-SOFT: jittable, fixed-shape, mesh-shardable seeding.
+
+Re-expresses the D-SOFT filtration (reference seed_pos_table.cpp:100-167;
+executable spec darwin_tpu/golden/dsoft.py) as a fixed-shape XLA
+program so that seeding runs on the TPU next to the GACT engine:
+
+* the minimizer scan's sequential emit rule becomes the change-point /
+  run-anchor formulation (see darwin_tpu/coding/ntcoding.py) built from
+  cumsum + one masked scatter;
+* tuple expansion (minimizer -> its pos-table range) uses a fixed
+  TUP_MAX tuple budget per read and a searchsorted-over-cumsum
+  assignment of tuple slots to minimizers;
+* the order-dependent per-bin counting becomes a stable sort by bin
+  followed by a segmented prefix sum and first-threshold-crossing
+  detection (same derivation as darwin_tpu/dsoft/filter.py);
+* results come back as fixed [R, CAND_MAX] candidate arrays plus
+  per-read counts, with an overflow flag when the tuple budget was
+  exceeded (callers fall back to the host engine for those reads —
+  never silently truncate).
+
+The seed table (sorted hash + pos arrays) lives on device, replicated
+across the mesh; reads shard data-parallel over the 'data' axis via
+shard_map, so a pod slice seeds its read batch in one dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.iinfo(np.int32).max
+
+_TWOBIT_LUT = np.zeros(256, dtype=np.uint32)
+for _c, _v in (("a", 0), ("A", 0), ("c", 1), ("C", 1),
+               ("g", 2), ("G", 2), ("t", 3), ("T", 3)):
+    _TWOBIT_LUT[ord(_c)] = _v
+
+
+def _hash32(key, k: int):
+    """Thomas Wang hash masked to 2k bits (ntcoding.cpp:74-85)."""
+    m = jnp.uint32((1 << (2 * k)) - 1)
+    key = (~key + (key << jnp.uint32(21))) & m
+    key = key ^ (key >> jnp.uint32(24))
+    key = ((key + (key << jnp.uint32(3))) + (key << jnp.uint32(8))) & m
+    key = key ^ (key >> jnp.uint32(14))
+    key = ((key + (key << jnp.uint32(2))) + (key << jnp.uint32(4))) & m
+    key = key ^ (key >> jnp.uint32(28))
+    key = (key + (key << jnp.uint32(31))) & m
+    return key
+
+
+def _query_minimizers_fixed(codes, qlen, k: int, w: int, LP: int):
+    """Minimizer scan of one read as fixed-shape masked arrays.
+
+    codes: [LP] uint32 2-bit codes, zero beyond the read (the query
+      word-count convention scans into zero padding, ntcoding.cpp:155).
+    Returns (emit[LP] bool, pos[LP] int32, mhash[LP] uint32) where
+    emit marks emitted minimizers at scan position p = index.
+    """
+    pos = jax.lax.broadcasted_iota(jnp.int32, (LP, 1), 0)[:, 0]
+    # k-mer code at every position: sum of k shifted 2-bit codes.
+    seed = jnp.zeros((LP,), jnp.uint32)
+    for t in range(k):
+        seed = seed | (jnp.roll(codes, -t) << jnp.uint32(2 * t))
+    h = _hash32(seed, k)
+
+    # Window minimum over [p-w+1, p].
+    m = h
+    for s in range(1, w):
+        m = jnp.minimum(m, jnp.roll(h, s))
+
+    # Scan range: lo = w-1, hi = 16*ceil(len/16) - k - w
+    # (QTwoBitToMinimizers convention, ntcoding.cpp:155-182).
+    s_len = (qlen + 15) // 16
+    hi = 16 * s_len - k - w
+    lo = w - 1
+    in_range = (pos >= lo) & (pos < hi)
+
+    prev_m = jnp.roll(m, 1)
+    prev_m = jnp.where(pos == lo, 0, prev_m)  # initial last_m = 0
+    change = (m != prev_m) & in_range
+
+    # Run anchors: each change point starts a run anchored at its
+    # position; the initial run is anchored at the virtual p = 0.
+    run_id = jnp.cumsum(change.astype(jnp.int32))
+    anchors = jnp.zeros((LP + 1,), jnp.int32)
+    scatter_idx = jnp.where(change, run_id, LP + 1)  # OOB = dropped
+    anchors = anchors.at[scatter_idx].set(jnp.where(change, pos, 0),
+                                          mode="drop")
+    offset = pos - anchors[run_id]
+    emit = (change | ((offset % w == 0) & (offset > 0))) & in_range
+    return emit, pos, m
+
+
+def _dsoft_one(codes, qlen, table_hashes, table_pos, *, k: int, w: int,
+               bin_size: int, kmer_max_occ: int, num_seeds_cap: int,
+               threshold: int, max_candidates: int, LP: int,
+               tup_max: int, cand_max: int):
+    """D-SOFT for one read; all shapes fixed, masked."""
+    emit, pos, mhash = _query_minimizers_fixed(codes, qlen, k, w, LP)
+
+    start = jnp.searchsorted(table_hashes, mhash, side="left")
+    end = jnp.searchsorted(table_hashes, mhash, side="right")
+    occ = (end - start).astype(jnp.int32)
+
+    passing = emit & (occ <= kmer_max_occ)
+    rank = jnp.cumsum(passing.astype(jnp.int32))
+    # First num_seeds_cap+1 passing minimizers are processed
+    # (check-before-increment, seed_pos_table.cpp:128-131).
+    keep = passing & (rank <= num_seeds_cap + 1)
+
+    counts = jnp.where(keep, occ, 0)
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    overflow = total > tup_max
+
+    # Assign tuple slots to minimizers: slot t belongs to the first
+    # minimizer whose cumulative count exceeds t.
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tup_max, 1), 0)[:, 0]
+    mz = jnp.searchsorted(cum, t_idx, side="right")
+    mz = jnp.minimum(mz, LP - 1)
+    within = t_idx - (cum[mz] - counts[mz])
+    tup_valid = t_idx < jnp.minimum(total, tup_max)
+
+    gather_idx = jnp.where(tup_valid, start[mz] + within, 0)
+    hit = table_pos[gather_idx].astype(jnp.int32)
+    toff = pos[mz]
+    tup_valid &= hit >= toff  # seed_pos_table.cpp:135
+
+    bins = jnp.where(tup_valid,
+                     ((hit - toff) // bin_size).astype(jnp.int32),
+                     INT32_MAX)
+    # Stable sort by bin; payloads ride along.  Padding (INT32_MAX
+    # bins) sorts last.
+    b_s, t_s, h_s, o_s, v_s = jax.lax.sort(
+        (bins, t_idx, hit, toff, tup_valid.astype(jnp.int32)),
+        num_keys=1, is_stable=True)
+    v_s = v_s == 1
+
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]]) & v_s
+    delta = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             o_s[1:] - o_s[:-1]])
+    inc = jnp.where(v_s,
+                    jnp.where(seg_start, k, jnp.minimum(delta, k)), 0)
+    cum2 = jnp.cumsum(inc)
+    # Segment base = cum2 - inc at the segment start, forward-filled;
+    # cum2 - inc is non-decreasing so a running max fills correctly.
+    base_at = jnp.where(seg_start, cum2 - inc, jnp.int32(-1))
+    seg_base = jax.lax.associative_scan(jnp.maximum, base_at)
+    count = cum2 - seg_base
+
+    crossing = (count >= threshold) & v_s
+    prev_cross = jnp.concatenate([jnp.zeros((1,), bool), crossing[:-1]])
+    first_cross = crossing & ~(prev_cross & ~seg_start)
+
+    # Back to emission (original tuple) order; take the first cand_max.
+    emit_key = jnp.where(first_cross, t_s, INT32_MAX)
+    e_k, e_h, e_o = jax.lax.sort((emit_key, h_s, o_s), num_keys=1,
+                                 is_stable=True)
+    if tup_max < cand_max:  # tiny tuple budgets: pad to the slice size
+        pad = ((0, cand_max - tup_max),)
+        e_h = jnp.pad(e_h, pad, constant_values=-1)
+        e_o = jnp.pad(e_o, pad, constant_values=-1)
+    n_emit = jnp.sum(first_cross.astype(jnp.int32))
+    n = jnp.minimum(jnp.minimum(n_emit, max_candidates), cand_max)
+    # Overflow only when the fixed budget truncates below the semantic
+    # cap (truncation at max_candidates itself is correct behavior).
+    overflow |= jnp.minimum(n_emit, max_candidates) > cand_max
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (cand_max, 1), 0)[:, 0]
+    cand_valid = c_idx < n
+    return (jnp.where(cand_valid, e_h[:cand_max], -1),
+            jnp.where(cand_valid, e_o[:cand_max], -1),
+            n, overflow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "bin_size", "kmer_max_occ",
+                     "num_seeds_cap", "threshold", "max_candidates",
+                     "tup_max", "cand_max"))
+def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
+                       k: int, w: int, bin_size: int, kmer_max_occ: int,
+                       num_seeds_cap: int, threshold: int,
+                       max_candidates: int, tup_max: int = 8192,
+                       cand_max: int = 512):
+    """Batched on-device D-SOFT.
+
+    queries: [R, L] uint8 ASCII (zero-padded), qlens: [R] int32.
+    Returns (hits[R, cand_max], offsets[R, cand_max], counts[R],
+    overflow[R]); hits/offsets are -1 beyond counts.
+    """
+    R, L = queries.shape
+    LP = L + 16  # headroom so k-mer reads past the scan range see zeros
+    lut = jnp.asarray(_TWOBIT_LUT)
+    codes = lut[queries]
+    codes = jnp.pad(codes, ((0, 0), (0, LP - L)))
+
+    fn = functools.partial(
+        _dsoft_one, k=k, w=w, bin_size=bin_size,
+        kmer_max_occ=kmer_max_occ, num_seeds_cap=num_seeds_cap,
+        threshold=threshold, max_candidates=max_candidates, LP=LP,
+        tup_max=tup_max, cand_max=cand_max)
+    return jax.vmap(fn, in_axes=(0, 0, None, None))(
+        codes, qlens.astype(jnp.int32), table_hashes, table_pos)
+
+
+def sharded_dsoft_fn(mesh, *, k: int, w: int, bin_size: int,
+                     kmer_max_occ: int, num_seeds_cap: int,
+                     threshold: int, max_candidates: int,
+                     tup_max: int = 8192, cand_max: int = 512):
+    """shard_map'd D-SOFT: reads sharded over the mesh's data axis,
+    seed table replicated; one dispatch seeds the whole batch."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(queries, qlens, th, tp):
+        return dsoft_device_batch(
+            queries, qlens, th, tp, k=k, w=w, bin_size=bin_size,
+            kmer_max_occ=kmer_max_occ, num_seeds_cap=num_seeds_cap,
+            threshold=threshold, max_candidates=max_candidates,
+            tup_max=tup_max, cand_max=cand_max)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None), P(None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def pad_reads(bank, read_ids, L: int | None = None):
+    """[R, L] zero-padded query matrix + lengths from a SeqBank."""
+    ids = np.asarray(list(read_ids), dtype=np.int64)
+    lens = bank.lengths[ids]
+    L = int(lens.max()) if L is None else L
+    out = np.zeros((len(ids), L), dtype=np.uint8)
+    for r, rid in enumerate(ids):
+        s = bank.starts[rid]
+        out[r, : lens[r]] = bank.flat[s: s + lens[r]]
+    return out, lens.astype(np.int32)

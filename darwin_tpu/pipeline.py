@@ -59,6 +59,78 @@ def collect_calls(table: SeedTable, genome: Genome, queries: SeqBank,
         qid = np.repeat(ids_arr, counts)
         return GactCalls(chr_id, qid, local, offsets)
 
+    return _collect_calls_python(table, genome, queries, params, ids)
+
+
+def collect_calls_device(table: SeedTable, genome: Genome,
+                         queries: SeqBank, params: Params,
+                         read_ids=None, *, tup_max: int = 8192,
+                         cand_max: int = 512, mesh=None) -> GactCalls:
+    """On-device D-SOFT over the read batch (optionally mesh-sharded).
+
+    Reads whose fixed tuple/candidate budget overflows fall back to the
+    exact host path, so results are always complete.
+    """
+    from darwin_tpu.dsoft.device import (dsoft_device_batch, pad_reads,
+                                         sharded_dsoft_fn)
+    import jax
+
+    ids = (np.arange(len(queries.lengths), dtype=np.int64)
+           if read_ids is None else np.asarray(list(read_ids)))
+    if len(ids) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return GactCalls(z, z, z, z)
+    Q, lens = pad_reads(queries, ids)
+    kw = dict(k=table.k, w=table.w, bin_size=table.bin_size,
+              kmer_max_occ=table.kmer_max_occurence,
+              num_seeds_cap=params.num_seeds,
+              threshold=params.threshold,
+              max_candidates=params.max_candidates,
+              tup_max=tup_max, cand_max=cand_max)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        R = len(ids)
+        RP = -(-R // n_dev) * n_dev
+        if RP != R:
+            Q = np.pad(Q, ((0, RP - R), (0, 0)))
+            lens = np.pad(lens, (0, RP - R))
+        fn = sharded_dsoft_fn(mesh, **kw)
+        hits, offs, counts, over = jax.device_get(
+            fn(Q, lens, np.asarray(table.hashes), np.asarray(table.pos)))
+        hits, offs = hits[: len(ids)], offs[: len(ids)]
+        counts, over = counts[: len(ids)], over[: len(ids)]
+    else:
+        hits, offs, counts, over = jax.device_get(dsoft_device_batch(
+            Q, lens, np.asarray(table.hashes), np.asarray(table.pos),
+            **kw))
+
+    rid, qid, rpos, qpos = [], [], [], []
+    for r, k in enumerate(ids):
+        if over[r]:  # exact host fallback, never truncate silently
+            seq = queries.slice(k, 0, int(queries.lengths[k]))
+            h, o = dsoft(table, seq, params.num_seeds,
+                         params.threshold, params.max_candidates)
+        else:
+            h = hits[r, : counts[r]].astype(np.int64)
+            o = offs[r, : counts[r]].astype(np.int64)
+        if len(h) == 0:
+            continue
+        chr_id, local = genome.decode_hits(h)
+        rid.append(chr_id)
+        qid.append(np.full(len(h), k, dtype=np.int64))
+        rpos.append(local)
+        qpos.append(o)
+
+    if not rid:
+        z = np.empty(0, dtype=np.int64)
+        return GactCalls(z, z, z, z)
+    return GactCalls(np.concatenate(rid), np.concatenate(qid),
+                     np.concatenate(rpos), np.concatenate(qpos))
+
+
+def _collect_calls_python(table: SeedTable, genome: Genome,
+                          queries: SeqBank, params: Params, ids
+                          ) -> GactCalls:
     rid, qid, rpos, qpos = [], [], [], []
     for k in ids:
         seq = queries.slice(k, 0, int(queries.lengths[k]))

@@ -1,0 +1,154 @@
+"""On-device D-SOFT parity vs the golden scalar spec, plus the
+fixed-budget overflow semantics and the mesh-sharded path."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from darwin_tpu.dsoft.device import (dsoft_device_batch, pad_reads,
+                                     sharded_dsoft_fn)
+from darwin_tpu.engine.seqbank import SeqBank
+from darwin_tpu.golden.dsoft import GoldenSeedTable, dsoft_scalar
+
+ALPHA = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def _fixture(seed, n_reads=10, ref_len=30000, err=0.12, n_frac=0.0):
+    rng = np.random.default_rng(seed)
+    p = [(1 - n_frac) / 4] * 4 + [n_frac]
+    ref = rng.choice(ALPHA, size=ref_len, p=p).astype(np.uint8)
+    gt = GoldenSeedTable(ref, 12, 32, 64, 4)
+    reads = []
+    for _ in range(n_reads):
+        s = int(rng.integers(0, max(1, ref_len - 3000)))
+        length = int(rng.integers(400, 2500))
+        r = ref[s:s + length].copy()
+        mut = rng.random(len(r)) < err
+        r[mut] = rng.choice(ALPHA[:4], size=int(mut.sum()))
+        reads.append(r)
+    return gt, reads
+
+
+def _run_device(gt, reads, threshold=18, cap_seeds=800, cap_cand=10**6,
+                tup_max=8192, cand_max=256, fn=None):
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    call = fn or (lambda q, l, th, tp: dsoft_device_batch(
+        q, l, th, tp, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=cap_seeds,
+        threshold=threshold, max_candidates=cap_cand, tup_max=tup_max,
+        cand_max=cand_max))
+    return jax.device_get(call(Q, lens, gt.hashes, gt.pos_table))
+
+
+def _check_parity(gt, reads, out, threshold=18, cap_seeds=800,
+                  cap_cand=10**6):
+    hits, offs, counts, over = out
+    for i, r in enumerate(reads):
+        assert not over[i], f"read {i} overflowed"
+        gold = dsoft_scalar(gt, r, cap_seeds, threshold, cap_cand)
+        got = list(zip(hits[i, :counts[i]].tolist(),
+                       offs[i, :counts[i]].tolist()))
+        assert got == gold, f"read {i}"
+        assert (hits[i, counts[i]:] == -1).all()
+
+
+@pytest.mark.parametrize("seed,threshold", [(3, 18), (7, 12), (11, 21)])
+def test_device_dsoft_matches_golden(seed, threshold):
+    gt, reads = _fixture(seed)
+    out = _run_device(gt, reads, threshold=threshold)
+    _check_parity(gt, reads, out, threshold=threshold)
+
+
+def test_device_dsoft_with_n_bases_and_num_seeds_cap():
+    gt, reads = _fixture(19, n_frac=0.03)
+    out = _run_device(gt, reads, threshold=15, cap_seeds=40)
+    _check_parity(gt, reads, out, threshold=15, cap_seeds=40)
+
+
+def test_device_dsoft_max_candidates_cap():
+    gt, reads = _fixture(23)
+    out = _run_device(gt, reads, threshold=12, cap_cand=2)
+    _check_parity(gt, reads, out, threshold=12, cap_cand=2)
+    assert (out[2] <= 2).all()
+
+
+def test_device_dsoft_tuple_overflow_flagged():
+    gt, reads = _fixture(5, n_reads=4)
+    hits, offs, counts, over = _run_device(gt, reads, threshold=12,
+                                           tup_max=8)
+    # A tiny tuple budget must raise the overflow flag, not silently
+    # return wrong results, for reads with more tuples than budget.
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    assert over.any()
+
+
+def test_device_dsoft_cand_max_below_emissions_flagged():
+    gt, reads = _fixture(29, err=0.02)  # low error -> many candidates?
+    hits, offs, counts, over = _run_device(gt, reads, threshold=12,
+                                           cand_max=1, cap_cand=10**6)
+    for i, r in enumerate(reads):
+        gold = dsoft_scalar(gt, r, 800, 12, 10**6)
+        if len(gold) > 1:
+            assert over[i]
+        else:
+            assert counts[i] == len(gold)
+
+
+def test_device_dsoft_empty_and_short_reads():
+    gt, _ = _fixture(31, n_reads=1)
+    reads = [np.frombuffer(b"ACGT", dtype=np.uint8).copy(),
+             np.frombuffer(b"A" * 40, dtype=np.uint8).copy()]
+    out = _run_device(gt, reads)
+    _check_parity(gt, reads, out)
+
+
+def test_sharded_dsoft_matches_single_device():
+    from darwin_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    gt, reads = _fixture(13, n_reads=16)
+    mesh = make_mesh(8)
+    fn = sharded_dsoft_fn(
+        mesh, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=800,
+        threshold=18, max_candidates=10**6, tup_max=4096, cand_max=128)
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    out = jax.device_get(fn(Q, lens, np.asarray(gt.hashes),
+                            np.asarray(gt.pos_table)))
+    _check_parity(gt, reads, out)
+
+
+def test_collect_calls_device_matches_host():
+    from darwin_tpu.config import Params
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.io.fasta import FastaRecord
+    from darwin_tpu.pipeline import collect_calls, collect_calls_device
+
+    rng = np.random.default_rng(41)
+    ref = rng.choice(ALPHA[:4], size=30000).astype(np.uint8)
+    params = Params(seed_size=12, threshold=15)
+    genome = Genome([FastaRecord(["ref"], ref.tobytes().decode())],
+                    params.bin_size)
+    table = SeedTable.build(genome.concat, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    reads = []
+    for _ in range(9):
+        s = int(rng.integers(0, 27000))
+        r = ref[s:s + int(rng.integers(500, 2000))].copy()
+        mut = rng.random(len(r)) < 0.1
+        r[mut] = rng.choice(ALPHA[:4], size=int(mut.sum()))
+        reads.append(r)
+    bank = SeqBank(reads)
+    host = collect_calls(table, genome, bank, params)
+    dev = collect_calls_device(table, genome, bank, params)
+    np.testing.assert_array_equal(dev.ref_id, host.ref_id)
+    np.testing.assert_array_equal(dev.query_id, host.query_id)
+    np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
+    np.testing.assert_array_equal(dev.query_pos, host.query_pos)
