@@ -1,0 +1,243 @@
+"""D-SOFT with the seed table SHARDED across the mesh.
+
+For references too large to replicate (human-scale genomes), the seed
+table shards by hash range across devices and candidate hits are
+exchanged over the interconnect — the component BASELINE.md calls
+"sharded seed table with cross-host candidate-hit exchange", with no
+reference counterpart (the reference is single-GPU, cuda_host.cu:195).
+
+Design (one shard_map'd XLA program; all shapes fixed):
+
+1. queries are replicated; every device computes every read's
+   minimizers locally (recompute beats communicating the scan), and
+   looks them up in its OWN table shard only.  Shards are aligned to
+   hash boundaries (``make_sharded_table``), so one minimizer's whole
+   pos-range lives on exactly one device.
+2. occurrence counts are summed with one ``psum`` so the
+   kmer-max-occurrence filter and the num_seeds cap see global counts
+   (a minimizer with zero hits still consumes num_seeds budget,
+   matching seed_pos_table.cpp:128-131).
+3. each device expands its shard's (hit, offset) tuples under a fixed
+   budget and tags them (read, minimizer-position, hit) — the tag pair
+   (m_pos, hit) totally orders tuples within a read exactly like the
+   reference's scan order (minimizer order, then pos-table order).
+4. tuples are ``all_gather``ed over the mesh (the hit exchange; an
+   all_to_all by read owner is a pure optimization of the same
+   pattern) and each device keeps only the reads it owns (contiguous
+   read blocks).
+5. per-(read, bin) counting = multi-key stable sort + segmented prefix
+   sum + first-threshold-crossing, the same derivation as
+   dsoft/filter.py and dsoft/device.py, then per-read compaction into
+   fixed [R_local, cand_max] outputs.
+
+Budget overflows (tuple budget, candidate slots) are flagged per read;
+callers fall back to the exact host path for flagged reads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from darwin_tpu.dsoft.device import _query_minimizers_fixed
+
+INT32_MAX = np.iinfo(np.int32).max
+_SENTINEL_HASH = np.uint32(0xFFFFFFFF)  # > any 2k-bit hash (k <= 15)
+
+_TWOBIT_LUT = np.zeros(256, dtype=np.uint32)
+for _c, _v in (("a", 0), ("A", 0), ("c", 1), ("C", 1),
+               ("g", 2), ("G", 2), ("t", 3), ("T", 3)):
+    _TWOBIT_LUT[ord(_c)] = _v
+
+
+def make_sharded_table(hashes: np.ndarray, pos: np.ndarray,
+                       n_shards: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Split a (hash, pos)-sorted table into hash-aligned shards.
+
+    Returns ([P, Nm] hashes, [P, Nm] pos) padded with a sentinel hash
+    that sorts after every real hash, so in-shard searchsorted lookups
+    see exactly the shard's ranges.  Split points never bisect a hash
+    value: a minimizer resolves on exactly one shard.
+    """
+    n = len(hashes)
+    bounds = [0]
+    for s in range(1, n_shards):
+        t = s * n // n_shards
+        # advance to the end of the run of equal hashes
+        while t < n and t > 0 and hashes[t] == hashes[t - 1]:
+            t += 1
+        t = max(t, bounds[-1])
+        bounds.append(t)
+    bounds.append(n)
+    nm = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
+    nm = max(nm, 1)
+    h_out = np.full((n_shards, nm), _SENTINEL_HASH, dtype=np.uint32)
+    p_out = np.zeros((n_shards, nm), dtype=np.uint32)
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        h_out[s, : hi - lo] = hashes[lo:hi]
+        p_out[s, : hi - lo] = pos[lo:hi]
+    return h_out, p_out
+
+
+def _forward_fill_max(x):
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
+                               k: int, w: int, bin_size: int,
+                               kmer_max_occ: int, num_seeds_cap: int,
+                               threshold: int, max_candidates: int,
+                               tup_max: int, cand_max: int,
+                               n_shards: int):
+    """Per-device body (inside shard_map).  queries [R, L] replicated;
+    th/tp [1, Nm] = this device's table shard."""
+    R, L = queries.shape
+    LP = L + 16
+    R_local = R // n_shards
+    d = jax.lax.axis_index(axis)
+    base = d * R_local
+
+    th = th[0]
+    tp = tp[0]
+
+    lut = jnp.asarray(_TWOBIT_LUT)
+    codes = jnp.pad(lut[queries.astype(jnp.int32)],
+                    ((0, 0), (0, LP - L)))
+
+    scan = jax.vmap(functools.partial(_query_minimizers_fixed,
+                                      k=k, w=w, LP=LP),
+                    in_axes=(0, 0))
+    emit, mpos, mhash = scan(codes, qlens.astype(jnp.int32))  # [R, LP]
+
+    start_l = jnp.searchsorted(th, mhash.reshape(-1),
+                               side="left").reshape(R, LP)
+    end_l = jnp.searchsorted(th, mhash.reshape(-1),
+                             side="right").reshape(R, LP)
+    occ_l = (end_l - start_l).astype(jnp.int32)
+    occ_g = jax.lax.psum(jnp.where(emit, occ_l, 0), axis)
+
+    passing = emit & (occ_g <= kmer_max_occ)
+    rank = jnp.cumsum(passing.astype(jnp.int32), axis=1)
+    keep = passing & (rank <= num_seeds_cap + 1)
+
+    # --- local tuple expansion under the fixed budget ----------------
+    counts_l = jnp.where(keep, occ_l, 0).reshape(-1)        # [R*LP]
+    cum = jnp.cumsum(counts_l)
+    total_l = cum[-1]
+    # A read overflowed locally iff its tuple range [begin, end) has
+    # tuples (end > begin) and extends past the budget (end > tup_max).
+    read_end = cum.reshape(R, LP)[:, -1]
+    read_begin = jnp.concatenate([jnp.zeros((1,), cum.dtype),
+                                  read_end[:-1]])
+    overflow_read = (read_end > tup_max) & (read_end > read_begin)
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (tup_max, 1), 0)[:, 0]
+    f = jnp.searchsorted(cum, t_idx, side="right")
+    f = jnp.minimum(f, R * LP - 1)
+    within = t_idx - (cum[f] - counts_l[f])
+    tvalid = t_idx < jnp.minimum(total_l, tup_max)
+
+    g_idx = jnp.where(tvalid, start_l.reshape(-1)[f] + within, 0)
+    hit = tp[g_idx].astype(jnp.int32)
+    t_read = (f // LP).astype(jnp.int32)
+    t_mpos = (f % LP).astype(jnp.int32)
+    tvalid &= hit >= t_mpos  # seed_pos_table.cpp:135
+
+    # --- hit exchange -------------------------------------------------
+    def gather(x):
+        return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+
+    a_read = gather(jnp.where(tvalid, t_read, INT32_MAX))
+    a_mpos = gather(t_mpos)
+    a_hit = gather(hit)
+    overflow_read = jax.lax.pmax(overflow_read.astype(jnp.int32),
+                                 axis) == 1  # [R] replicated
+
+    mine = (a_read >= base) & (a_read < base + R_local)
+    rloc = jnp.where(mine, a_read - base, INT32_MAX)
+
+    bins = jnp.where(mine, (a_hit - a_mpos) // bin_size, INT32_MAX)
+    r_s, b_s, m_s, h_s = jax.lax.sort(
+        (rloc, bins, a_mpos, a_hit), num_keys=4, is_stable=True)
+    v_s = r_s != INT32_MAX
+
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (r_s[1:] != r_s[:-1]) | (b_s[1:] != b_s[:-1])])
+    seg_start = newseg & v_s
+    delta = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             m_s[1:] - m_s[:-1]])
+    inc = jnp.where(v_s,
+                    jnp.where(seg_start, k, jnp.minimum(delta, k)), 0)
+    cum2 = jnp.cumsum(inc)
+    seg_base = _forward_fill_max(
+        jnp.where(seg_start, cum2 - inc, jnp.int32(-1)))
+    count = cum2 - seg_base
+
+    crossing = (count >= threshold) & v_s
+    prev_cross = jnp.concatenate([jnp.zeros((1,), bool), crossing[:-1]])
+    first_cross = crossing & ~(prev_cross & ~seg_start)
+
+    # --- per-read compaction into [R_local, cand_max] ------------------
+    ckey = jnp.where(first_cross, r_s, INT32_MAX)
+    c_r, c_m, c_h = jax.lax.sort((ckey, m_s, h_s), num_keys=3,
+                                 is_stable=True)
+    cvalid = c_r != INT32_MAX
+    idx = jax.lax.broadcasted_iota(jnp.int32, (c_r.shape[0], 1), 0)[:, 0]
+    rstart = jnp.concatenate([jnp.ones((1,), bool),
+                              c_r[1:] != c_r[:-1]]) & cvalid
+    seg_first = _forward_fill_max(jnp.where(rstart, idx, -1))
+    crank = idx - seg_first
+
+    n_emit = jnp.zeros((R_local,), jnp.int32).at[
+        jnp.where(cvalid, c_r, R_local)].add(
+            jnp.where(cvalid, 1, 0), mode="drop")
+    n_final = jnp.minimum(jnp.minimum(n_emit, max_candidates), cand_max)
+    over_c = jnp.minimum(n_emit, max_candidates) > cand_max
+    my_overflow = jax.lax.dynamic_slice(overflow_read, (base,),
+                                        (R_local,))
+    overflow = my_overflow | over_c
+
+    put = cvalid & (crank < n_final[jnp.minimum(c_r, R_local - 1)])
+    tgt = jnp.where(put, c_r * cand_max + crank, R_local * cand_max)
+    hits_out = jnp.full((R_local * cand_max,), -1, jnp.int32).at[
+        tgt].set(jnp.where(put, c_h, -1), mode="drop")
+    offs_out = jnp.full((R_local * cand_max,), -1, jnp.int32).at[
+        tgt].set(jnp.where(put, c_m, -1), mode="drop")
+    return (hits_out.reshape(R_local, cand_max),
+            offs_out.reshape(R_local, cand_max), n_final, overflow)
+
+
+def dsoft_table_sharded_fn(mesh, *, k: int, w: int, bin_size: int,
+                           kmer_max_occ: int, num_seeds_cap: int,
+                           threshold: int, max_candidates: int,
+                           tup_max: int = 8192, cand_max: int = 512):
+    """shard_map'd table-sharded D-SOFT.
+
+    Returned fn(queries [R, L] uint8, qlens [R], hash_shards [P, Nm],
+    pos_shards [P, Nm]) -> (hits [R, cand_max], offs, counts, overflow);
+    R must be a multiple of the mesh size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_shards = mesh.devices.size
+
+    local = functools.partial(
+        _dsoft_table_sharded_local, axis=axis, k=k, w=w,
+        bin_size=bin_size, kmer_max_occ=kmer_max_occ,
+        num_seeds_cap=num_seeds_cap, threshold=threshold,
+        max_candidates=max_candidates, tup_max=tup_max,
+        cand_max=cand_max, n_shards=n_shards)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False)
+    return jax.jit(fn)

@@ -1,0 +1,111 @@
+"""Table-sharded D-SOFT (cross-device hit exchange) parity vs the
+golden scalar spec, on the 8-device virtual mesh."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from darwin_tpu.dsoft.device import pad_reads
+from darwin_tpu.dsoft.sharded_table import (dsoft_table_sharded_fn,
+                                            make_sharded_table)
+from darwin_tpu.engine.seqbank import SeqBank
+from darwin_tpu.golden.dsoft import GoldenSeedTable, dsoft_scalar
+from darwin_tpu.parallel.mesh import make_mesh
+
+ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _fixture(seed, n_reads=16, ref_len=40000, err=0.12,
+             repetitive=False):
+    rng = np.random.default_rng(seed)
+    if repetitive:
+        # Tandem-repeat-rich reference: many multi-hit minimizers, so
+        # single bins receive several hits of one minimizer — stresses
+        # the (m_pos, hit) tuple ordering across shards.
+        unit = rng.choice(ALPHA, size=500).astype(np.uint8)
+        ref = np.tile(unit, ref_len // 500 + 1)[:ref_len].copy()
+        jitter = rng.random(ref_len) < 0.02
+        ref[jitter] = rng.choice(ALPHA, size=int(jitter.sum()))
+    else:
+        ref = rng.choice(ALPHA, size=ref_len).astype(np.uint8)
+    gt = GoldenSeedTable(ref, 12, 32, 64, 4)
+    reads = []
+    for _ in range(n_reads):
+        s = int(rng.integers(0, max(1, ref_len - 3000)))
+        r = ref[s:s + int(rng.integers(500, 2500))].copy()
+        mut = rng.random(len(r)) < err
+        r[mut] = rng.choice(ALPHA, size=int(mut.sum()))
+        reads.append(r)
+    return gt, reads
+
+
+def _run(gt, reads, threshold, cap_seeds=800, cap_cand=10**6,
+         tup_max=4096, cand_max=128):
+    mesh = make_mesh(8)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    fn = dsoft_table_sharded_fn(
+        mesh, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=cap_seeds,
+        threshold=threshold, max_candidates=cap_cand, tup_max=tup_max,
+        cand_max=cand_max)
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    return jax.device_get(fn(Q, lens, hs, ps))
+
+
+def _check(gt, reads, out, threshold, cap_seeds=800, cap_cand=10**6):
+    hits, offs, counts, over = out
+    for i, r in enumerate(reads):
+        assert not over[i], f"read {i} overflowed"
+        gold = dsoft_scalar(gt, r, cap_seeds, threshold, cap_cand)
+        got = list(zip(hits[i, :counts[i]].tolist(),
+                       offs[i, :counts[i]].tolist()))
+        assert got == gold, f"read {i}: {len(got)} vs {len(gold)}"
+
+
+@pytest.mark.parametrize("seed,threshold", [(17, 15), (23, 10)])
+def test_sharded_table_matches_golden(seed, threshold):
+    gt, reads = _fixture(seed)
+    out = _run(gt, reads, threshold)
+    _check(gt, reads, out, threshold)
+
+
+def test_sharded_table_repetitive_reference():
+    gt, reads = _fixture(31, repetitive=True, err=0.05)
+    out = _run(gt, reads, threshold=12, tup_max=16384, cand_max=512)
+    _check(gt, reads, out, threshold=12)
+
+
+def test_sharded_table_caps():
+    gt, reads = _fixture(41)
+    out = _run(gt, reads, threshold=10, cap_seeds=60, cap_cand=3)
+    _check(gt, reads, out, threshold=10, cap_seeds=60, cap_cand=3)
+
+
+def test_sharded_table_overflow_flagged():
+    gt, reads = _fixture(47, repetitive=True, err=0.02)
+    hits, offs, counts, over = _run(gt, reads, threshold=10, tup_max=64)
+    assert over.any()
+
+
+def test_make_sharded_table_hash_aligned():
+    gt, _ = _fixture(53, n_reads=1)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    # No hash value may span two shards.
+    last_real = []
+    first_real = []
+    for s in range(8):
+        real = hs[s][hs[s] != 0xFFFFFFFF]
+        if len(real):
+            last_real.append(real[-1])
+            first_real.append(real[0])
+    for a, b in zip(last_real[:-1], first_real[1:]):
+        assert a < b
+    # Every entry survives exactly once.
+    all_h = np.concatenate([hs[s][hs[s] != 0xFFFFFFFF] for s in range(8)])
+    np.testing.assert_array_equal(all_h, gt.hashes)
