@@ -385,7 +385,13 @@ class DeviceGactEngine:
         if N == 0:
             return []
         Ncap = _bucket(N)
-        st = dataclasses.replace(self._static, Ncap=Ncap)
+        # Shrink the slot count to the workload: iterations are bounded
+        # by max-tiles-per-call, so surplus slots only add per-iteration
+        # cost (measured 2x end-to-end on a 122-call batch, 512 -> 128).
+        B_eff = min(self._static.B, _bucket(N, 64))
+        bb = min(self._static.block_b, B_eff)
+        B_eff = -(-B_eff // bb) * bb
+        st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff)
         key = (dataclasses.astuple(st), len(self._gconcat),
                len(self._qflat))
         fn = _ENGINE_FN_CACHE.get(key)
