@@ -69,6 +69,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=None,
                    help="host threads for the native D-SOFT engine "
                         "(default: all cores)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip read ranges whose darwin.<i>.out already "
+                        "exists (restart amortization; the seed table "
+                        "is amortized via --seed-table)")
+    p.add_argument("--metrics-json", default=None,
+                   help="write phase timings/counters as JSON")
     p.add_argument("--dsoft", default="host",
                    choices=["host", "device"],
                    help="seeding engine: host = native C++/NumPy, "
@@ -102,32 +108,40 @@ def main(argv: list[str] | None = None) -> int:
           f" gap_open = {params.gap_open}, gap_extend = {params.gap_extend}")
     print(f"Batch size: {batch_size}, output ranges: {args.num_ranges}")
 
+    metrics: dict = {"batch_size": batch_size}
+
     t0 = time.time()
     ref_records = parse_fasta(args.reference)
     genome = Genome(ref_records, params.bin_size)
+    metrics["ref_load_ms"] = (time.time() - t0) * 1e3
+    metrics["ref_length"] = int(genome.total_length)
     print(f"Reference length: {genome.total_length}, "
           f"{len(ref_records)} pieces "
-          f"({(time.time() - t0) * 1e3:.0f} ms)")
+          f"({metrics['ref_load_ms']:.0f} ms)")
 
     t0 = time.time()
     read_records = (ref_records if same_file
                     else parse_fasta(args.reads))
+    metrics["read_load_ms"] = (time.time() - t0) * 1e3
+    metrics["num_reads"] = len(read_records)
     print(f"Number of reads: {len(read_records)} "
-          f"({(time.time() - t0) * 1e3:.0f} ms)")
+          f"({metrics['read_load_ms']:.0f} ms)")
 
     t0 = time.time()
     if args.seed_table and Path(args.seed_table).exists():
         table = SeedTable.load(args.seed_table)
+        metrics["seed_table_ms"] = (time.time() - t0) * 1e3
         print(f"Seed table loaded from {args.seed_table} "
-              f"({(time.time() - t0) * 1e3:.0f} ms)")
+              f"({metrics['seed_table_ms']:.0f} ms)")
     else:
         table = SeedTable.build(genome.concat, params.seed_size,
                                 params.seed_occurence_multiple,
                                 params.bin_size, params.window_size)
         if args.seed_table:
             table.save(args.seed_table)
+        metrics["seed_table_ms"] = (time.time() - t0) * 1e3
         print(f"Seed table built: {len(table.pos)} minimizers "
-              f"({(time.time() - t0) * 1e3:.0f} ms)")
+              f"({metrics['seed_table_ms']:.0f} ms)")
 
     engine = args.engine
     if engine == "auto":
@@ -172,7 +186,15 @@ def main(argv: list[str] | None = None) -> int:
 
     t_seed = 0.0
     t_gact = 0.0
+    n_cand = 0
     for range_id, (lo, hi) in zip(range_ids, ranges):
+        out_file = out_dir / f"darwin.{range_id}.out"
+        if args.resume and out_file.exists():
+            prior = out_file.read_text().splitlines()
+            all_lines.extend(prior)
+            print(f"range {range_id}: resumed from {out_file} "
+                  f"({len(prior)} records)")
+            continue
         lines: list[str] = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
             t0 = time.time()
@@ -186,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
                                       read_ids=range(lo, hi),
                                       num_threads=args.threads)
             t_seed += time.time() - t0
+            n_cand += len(calls)
             print(f"range {range_id} comp {int(comp)}: "
                   f"{len(calls)} candidates")
             t0 = time.time()
@@ -222,6 +245,18 @@ def main(argv: list[str] | None = None) -> int:
 
     print(f"Time finding seeds: {t_seed * 1e3:.0f} msec")
     print(f"Time GACT calling: {t_gact * 1e3:.0f} msec")
+
+    if args.metrics_json:
+        import json
+        metrics.update(
+            seed_ms=t_seed * 1e3, gact_ms=t_gact * 1e3,
+            num_candidates=n_cand, num_records=len(all_lines),
+            engine=engine, dsoft=args.dsoft,
+            reads_per_s=(metrics["num_reads"]
+                         / max(1e-9, t_seed + t_gact)))
+        Path(args.metrics_json).write_text(
+            json.dumps(metrics, indent=2) + "\n")
+        print(f"Metrics written to {args.metrics_json}")
 
     if args.merged_out:
         if args.distributed:

@@ -29,3 +29,34 @@ def test_cli_matches_reference(data_dir, tmp_path):
     got = (tmp_path / "out.darwin").read_text().splitlines()
     want = sorted(set((d / "out.darwin").read_text().splitlines()))
     assert got == want
+
+
+@pytest.mark.slow
+def test_cli_resume_and_metrics(data_dir, tmp_path):
+    d = data_dir / "tiny"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    base = [sys.executable, "-m", "darwin_tpu.cli",
+            str(d / "reads.fasta"), str(d / "reads.fasta"), "2",
+            "--params", str(d / "params.cfg"), "--batch-size", "64",
+            "--out-dir", str(tmp_path),
+            "--merged-out", str(tmp_path / "out.darwin"),
+            "--metrics-json", str(tmp_path / "metrics.json")]
+    r = subprocess.run(base, capture_output=True, text=True, env=env,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+    m = json.loads((tmp_path / "metrics.json").read_text())
+    assert m["num_reads"] > 0 and m["num_records"] > 0
+    assert m["gact_ms"] > 0 and m["reads_per_s"] > 0
+
+    # Resume: poison range 0's output; --resume must keep it verbatim
+    # and only the merged file reflects the poisoned content.
+    (tmp_path / "darwin.0.out").write_text("POISON\n")
+    r = subprocess.run(base + ["--resume"], capture_output=True,
+                       text=True, env=env, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed" in r.stdout
+    assert (tmp_path / "darwin.0.out").read_text() == "POISON\n"
+    merged = (tmp_path / "out.darwin").read_text().splitlines()
+    assert "POISON" in merged
