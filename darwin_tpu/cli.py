@@ -89,6 +89,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.distributed:
+        # Must run before anything touches the XLA backend.
+        from darwin_tpu.parallel import distributed as dist
+        dist.maybe_initialize()
     if args.jax_cache:
         import jax
         jax.config.update("jax_compilation_cache_dir", args.jax_cache)
