@@ -64,6 +64,50 @@ def theoretical_overlaps(names: list[str], min_overlap: int = 1000,
     return out
 
 
+def measure_sensitivity_guided(records: list[str], num_reads: int,
+                               score_thres: int = 600,
+                               window: int = 50) -> EvalResult:
+    """Reference-guided mode: reads mapped against a reference genome.
+
+    Mirrors the reference evaluator's ref=1 branch
+    (measure_sensitivity_PBSIM.py:152-162, 216-258): keep each read's
+    highest-scoring record (ties: first in input order), count it TP
+    when the read's true genome position lies strictly within +/-window
+    of the reported reference start, else FP; unmapped reads are FN.
+
+    Deviation from the reference (intended-semantics fix, documented):
+    its best-per-read loop never flushes the final read group
+    (measure_sensitivity_PBSIM.py:222-237), silently dropping the last
+    read's record; we include it.
+    """
+    hovls = []
+    for line in records:
+        l = _ints(line)
+        if len(l) < 10:
+            continue
+        # guided layout: [ref ints..., read_id, gen_pos, read_len,
+        #                 ab, ae, bb, be, score, comp]
+        l = l[-9:]  # read_id onward (ref name may carry any int count)
+        if l[7] >= score_thres:
+            hovls.append(l)
+
+    best: dict[int, list[int]] = {}
+    for h in hovls:
+        read_id = h[0]
+        if read_id not in best or h[7] > best[read_id][7]:
+            best[read_id] = h
+
+    tp = fp = 0
+    for read_id, h in best.items():
+        gen_pos, ref_start = h[1], h[3]
+        if ref_start - window < gen_pos < ref_start + window:
+            tp += 1
+        else:
+            fp += 1
+    fn = num_reads - len(best)
+    return EvalResult(tp=tp, fn=fn, fp=fp)
+
+
 def measure_sensitivity(records: list[str], read_names: list[str],
                         score_thres: int = 600, min_length: int = 990,
                         min_overlap: int = 1000, extra: bool = True,

@@ -76,3 +76,47 @@ def test_pipeline_sensitivity_on_noisy_fixture(data_dir):
     assert (got_res.tp, got_res.fn, got_res.fp) == (
         ref_res.tp, ref_res.fn, ref_res.fp)
     assert got_res.sensitivity >= 0.5
+
+
+def test_measure_sensitivity_guided_counts():
+    from darwin_tpu.eval.sensitivity import measure_sensitivity_guided
+    # guided record: ref name, read name R<id>_<pos>_<len>, coords
+    ok = format_record("genome1", "R0_1200_1000", 1210, 2150, 5, 950,
+                       800, 0)
+    off = format_record("genome1", "R1_4000_1000", 6000, 6900, 0, 900,
+                        900, 0)
+    low = format_record("genome1", "R2_7000_1000", 7010, 7900, 0, 890,
+                        100, 0)
+    res = measure_sensitivity_guided([ok, off, low], num_reads=4)
+    # R0 within +/-50 -> TP; R1 3950 off -> FP; R2 filtered by score and
+    # R3 absent -> 2 FN.
+    assert (res.tp, res.fp, res.fn) == (1, 1, 2)
+
+    # Best-per-read: higher score wins even when listed later.
+    far = format_record("genome1", "R0_1200_1000", 9000, 9900, 0, 900,
+                        700, 0)
+    res = measure_sensitivity_guided([far, ok], num_reads=1)
+    assert (res.tp, res.fp, res.fn) == (1, 0, 0)
+
+
+@pytest.mark.slow
+def test_pipeline_guided_mapping_accuracy():
+    """Reference-guided flow: sample reads from a genome, map them back
+    (same_file=False), evaluate with the guided-mode evaluator."""
+    from darwin_tpu.eval.sensitivity import measure_sensitivity_guided
+    from darwin_tpu.io.fasta import FastaRecord
+    from darwin_tpu.pipeline import run_pipeline
+
+    rng = np.random.default_rng(7)
+    genome = synth_genome(60000, rng)
+    reads = sample_reads(genome, 8, 3000, rng, error_rate=0.08)
+    params = Params(tile_size=64, tile_overlap=24,
+                    first_tile_score_threshold=10, threshold=15)
+    ref_recs = [FastaRecord(["genome1"], genome)]
+    read_recs = [FastaRecord([n], s) for n, s in reads]
+    result = run_pipeline(ref_recs, read_recs, params, same_file=False,
+                          batch_size=64)
+    res = measure_sensitivity_guided(result.records, len(reads),
+                                     score_thres=600)
+    assert res.tp >= 6, (res.tp, res.fn, res.fp)
+    assert res.fp == 0
