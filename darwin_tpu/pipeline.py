@@ -81,6 +81,19 @@ def collect_calls_device(table: SeedTable, genome: Genome,
         z = np.empty(0, dtype=np.int64)
         return GactCalls(z, z, z, z)
     Q, lens = pad_reads(queries, ids)
+    # Bucket both dims to powers of two so compiled programs are
+    # reusable across read batches of similar shape (the jit is keyed
+    # on [R, L]; padding is masked out by qlens).
+    def _bucket(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+    RP = _bucket(Q.shape[0], 8)
+    LPad = _bucket(Q.shape[1], 1024)
+    if (RP, LPad) != Q.shape:
+        Q = np.pad(Q, ((0, RP - Q.shape[0]), (0, LPad - Q.shape[1])))
+        lens = np.pad(lens, (0, RP - len(lens)))
     kw = dict(k=table.k, w=table.w, bin_size=table.bin_size,
               kmer_max_occ=table.kmer_max_occurence,
               num_seeds_cap=params.num_seeds,
@@ -89,11 +102,11 @@ def collect_calls_device(table: SeedTable, genome: Genome,
               tup_max=tup_max, cand_max=cand_max)
     if mesh is not None:
         n_dev = mesh.devices.size
-        R = len(ids)
-        RP = -(-R // n_dev) * n_dev
-        if RP != R:
-            Q = np.pad(Q, ((0, RP - R), (0, 0)))
-            lens = np.pad(lens, (0, RP - R))
+        R = Q.shape[0]
+        RM = -(-R // n_dev) * n_dev
+        if RM != R:
+            Q = np.pad(Q, ((0, RM - R), (0, 0)))
+            lens = np.pad(lens, (0, RM - R))
         fn = sharded_dsoft_fn(mesh, **kw)
         hits, offs, counts, over = jax.device_get(
             fn(Q, lens, np.asarray(table.hashes), np.asarray(table.pos)))
