@@ -1,0 +1,126 @@
+"""Reproducible scale differential test vs the reference CPU binary.
+
+The TPU analogue of the reference's x_scalingrun.sh compare flow:
+generate a seeded PBSIM-style dataset, run darwin-tpu and (when a
+reference binary is given) the reference CPU build on the same FASTA,
+and diff the sorted-unique overlap records byte-for-byte.
+
+Result from 2026-08-16 on this machine (see BENCH_NOTES.md): 4.6 Mb
+genome, 460 x 10 kb reads at 12% error -> EXACT parity on all 555
+unique records; reference 267 s (8 threads) vs darwin-tpu 3.2 s warm
+on one v5e chip.
+
+Usage:
+    python tools/scale_test.py [--genome 4600000] [--reads 460]
+        [--read-len 10000] [--error 0.12] [--seed 42]
+        [--darwin /tmp/refbuild/darwin] [--workdir /tmp/scale_test]
+
+Build the reference binary with the g++-only recipe in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--genome", type=int, default=4_600_000)
+    p.add_argument("--reads", type=int, default=460)
+    p.add_argument("--read-len", type=int, default=10_000)
+    p.add_argument("--error", type=float, default=0.12)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--darwin", default=None,
+                   help="reference binary; skip differential if absent")
+    p.add_argument("--workdir", default="/tmp/scale_test")
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--threads", type=int, default=8,
+                   help="reference binary CPU threads")
+    args = p.parse_args(argv)
+
+    from darwin_tpu.config import Params
+    from darwin_tpu.eval.datagen import sample_reads, synth_genome
+    from darwin_tpu.io.fasta import parse_fasta, write_fasta
+    from darwin_tpu.pipeline import run_pipeline
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    fasta = work / "reads.fasta"
+
+    rng = np.random.default_rng(args.seed)
+    genome = synth_genome(args.genome, rng)
+    reads = sample_reads(genome, args.reads, args.read_len, rng,
+                         error_rate=args.error, rc_fraction=0.5)
+    write_fasta(fasta, reads)
+    print(f"dataset: {args.reads} x {args.read_len} bp reads over "
+          f"{args.genome} bp genome -> {fasta}")
+
+    params = Params()
+    records = parse_fasta(fasta)
+    engine = "device" if _on_accelerator() else "host"
+    t0 = time.time()
+    res = run_pipeline(records, records, params, same_file=True,
+                       batch_size=args.batch_size, engine=engine)
+    cold = time.time() - t0
+    t0 = time.time()
+    res = run_pipeline(records, records, params, same_file=True,
+                       batch_size=args.batch_size, engine=engine)
+    warm = time.time() - t0
+    ours = sorted(set(res.records))
+    (work / "ours.darwin").write_text("\n".join(ours) + "\n")
+    print(f"darwin-tpu: cold {cold:.1f} s, warm {warm:.1f} s "
+          f"({args.reads / warm:.1f} reads/s), {len(ours)} unique records")
+
+    if not args.darwin or not Path(args.darwin).exists():
+        print("no reference binary given; skipping differential")
+        return 0
+
+    refdir = work / "ref"
+    refdir.mkdir(exist_ok=True)
+    (refdir / "reads.fasta").write_bytes(fasta.read_bytes())
+    cfg = Path(args.darwin).parent / "params.cfg"
+    if not cfg.exists():
+        cfg = REPO.parent / "reference" / "params.cfg"
+    (refdir / "params.cfg").write_bytes(cfg.read_bytes())
+    t0 = time.time()
+    subprocess.run([str(Path(args.darwin).resolve()), "reads.fasta",
+                    "reads.fasta", str(args.threads)],
+                   cwd=refdir, check=True, capture_output=True)
+    ref_t = time.time() - t0
+    ref_records = sorted(set(
+        line for f in sorted(refdir.glob("darwin.*.out"))
+        for line in f.read_text().splitlines()))
+    (work / "ref.darwin").write_text("\n".join(ref_records) + "\n")
+    print(f"reference: {ref_t:.1f} s ({args.reads / ref_t:.1f} reads/s), "
+          f"{len(ref_records)} unique records")
+
+    if ours == ref_records:
+        print(f"PARITY: EXACT ({len(ours)} records); "
+              f"speedup {ref_t / warm:.0f}x")
+        return 0
+    missing = set(ref_records) - set(ours)
+    extra = set(ours) - set(ref_records)
+    print(f"PARITY: FAILED missing={len(missing)} extra={len(extra)}")
+    for line in sorted(missing)[:3]:
+        print(f"  missing: {line}")
+    for line in sorted(extra)[:3]:
+        print(f"  extra:   {line}")
+    return 1
+
+
+def _on_accelerator() -> bool:
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
