@@ -40,6 +40,10 @@ FIXTURES = {
     "small": (200_000, 40, 10_000, 0.0, 0.0, {}),
     # Noisy reads incl. reverse-complemented ones, default params.
     "noisy": (150_000, 30, 8_000, 0.10, 0.4, {}),
+    # Noisy reads with N runs / scattered N no-calls in half the reads
+    # (N packs to 0='A' in seeding but stays N in DP char compares,
+    # ntcoding.cpp:56-69 vs align.cpp:134 — a dedicated parity hazard).
+    "nbase": (150_000, 24, 6_000, 0.08, 0.4, {"inject_n": True}),
 }
 
 PARAMS_TEMPLATE = """\
@@ -77,6 +81,16 @@ def gen_fixture(name: str, darwin: str | None) -> None:
     genome = synth_genome(glen, rng)
     reads = sample_reads(genome, nreads, rlen, rng, error_rate=err,
                          rc_fraction=rcf)
+    if overrides.get("inject_n"):
+        injected = []
+        for i, (rname, seq) in enumerate(reads):
+            s = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+            if i % 2 == 0:
+                p = int(rng.integers(100, len(s) - 200))
+                s[p:p + int(rng.integers(5, 60))] = ord("N")
+                s[rng.integers(0, len(s), size=30)] = ord("N")
+            injected.append((rname, s.tobytes().decode()))
+        reads = injected
     write_fasta(d / "reads.fasta", reads)
     params = PARAMS_TEMPLATE.format(
         tile_size=overrides.get("tile_size", 320),
