@@ -67,7 +67,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 
     def kernel(refT_ref, query_ref, rlen_ref, qlen_ref,    # inputs
                dir_ref, stats_ref,                          # outputs
-               m_s, i_s, d_s, qs_s, bh_s, bi_s, ph_s, p3_s):  # scratch
+               m_s, i_s, qs_s, bh_s, bi_s, ph_s, p3_s):        # scratch
         ib = pl.program_id(1)  # row block: DP rows ib*8+1 .. ib*8+8
         BB = m_s.shape[0]
         # 16-bit iota is unsupported in hardware; generate 32-bit, cast.
@@ -87,7 +87,6 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         def _init():
             m_s[:] = jnp.zeros((BB, TJP), sdt)
             i_s[:] = jnp.full((BB, TJP), neg_inf, sdt)
-            d_s[:] = jnp.full((BB, TJP), neg_inf, sdt)
             # qs[:, j] = query[:, j-1]
             q = query_ref[:].astype(sdt)
             qs_s[:] = shift_right(q, 1, 0)
@@ -104,7 +103,9 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         # 8 ref chars for this row block: [8, BB] -> [BB, 8].
         rc8 = refT_ref[:].astype(sdt).T
 
-        m_prev, i_prev, d_prev = m_s[:], i_s[:], d_s[:]
+        # d never feeds the next row directly (prev3 = max(m,i,d) does),
+        # so no d scratch is carried.
+        m_prev, i_prev = m_s[:], i_s[:]
         best_h, best_i, pos_h = bh_s[:], bi_s[:], ph_s[:]
         prev3 = p3_s[:]  # max(m, i, d) of the previous row, carried
 
@@ -128,7 +129,13 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             ins_open = m_prev + c(gap_open)
             ins_ext = i_prev + c(gap_extend)
             i_new = jnp.maximum(ins_open, ins_ext)
-            i_new = jnp.where(lane0, c(neg_inf), i_new)
+            if gap_open > 0:
+                # Lane 0 is DP column 0 (i = -inf).  With the usual
+                # non-positive gap penalties its stray value
+                # max(go, ...) never escapes: every cross-lane use
+                # shifts right and prev3[0] = max(0, go, -inf) = 0.
+                # Only a positive gap_open needs the explicit mask.
+                i_new = jnp.where(lane0, c(neg_inf), i_new)
 
             # d[j] = (j-1)*ge + cummax_{l<=j-1}(m[l] + go - l*ge)
             u = m_new + u_base
@@ -136,8 +143,9 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             while s < TJP:
                 u = jnp.maximum(u, shift_right(u, s, neg_inf))
                 s *= 2
+            # Lane 0 needs no mask: the shift fills -inf and d_base[0]
+            # is a tiny constant, so d_new[0] stays hugely negative.
             d_new = shift_right(u, 1, neg_inf) + d_base
-            d_new = jnp.where(lane0, c(neg_inf), d_new)
 
             mx3 = jnp.maximum(jnp.maximum(m_new, i_new), d_new)
             h = jnp.maximum(mx3, c(0))
@@ -171,12 +179,11 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             best_i = jnp.where(upd, ip1, best_i)
             pos_h = jnp.where(ip1 == rlen, h, pos_h)
 
-            m_prev, i_prev, d_prev = m_new, i_new, d_new
+            m_prev, i_prev = m_new, i_new
             prev3 = mx3
 
         m_s[:] = m_prev
         i_s[:] = i_prev
-        d_s[:] = d_prev
         bh_s[:] = best_h
         bi_s[:] = best_i
         ph_s[:] = pos_h
@@ -267,7 +274,6 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((BB, TJP), sdt_np),  # m
             pltpu.VMEM((BB, TJP), sdt_np),  # i
-            pltpu.VMEM((BB, TJP), sdt_np),  # d
             pltpu.VMEM((BB, TJP), sdt_np),  # shifted query
             pltpu.VMEM((BB, TJP), sdt_np),  # best_h
             pltpu.VMEM((BB, TJP), sdt_np),  # best_i
