@@ -22,3 +22,21 @@ def test_pipeline_matches_reference(data_dir, fixture, batch):
     got = set(result.records)
     assert got == want, (
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
+
+
+@pytest.mark.parametrize("batch", [64, 16])
+@pytest.mark.slow
+def test_pipeline_guided_mode_matches_reference(data_dir, batch):
+    """Separate-file mode: mixed-length reads vs a multi-chromosome
+    reference with non-bin-multiple piece lengths (stresses N padding,
+    bin/chr decode maps, same_file=False record gating)."""
+    d = data_dir / "guided"
+    params = Params.from_cfg(d / "params.cfg")
+    ref = parse_fasta(d / "ref.fasta")
+    reads = parse_fasta(d / "reads.fasta")
+    result = run_pipeline(ref, reads, params, same_file=False,
+                          batch_size=batch)
+    want = set((d / "out.darwin").read_text().splitlines())
+    got = set(result.records)
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
