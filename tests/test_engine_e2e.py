@@ -40,3 +40,18 @@ def test_pipeline_guided_mode_matches_reference(data_dir, batch):
     got = set(result.records)
     assert got == want, (
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
+
+
+@pytest.mark.slow
+def test_pipeline_nondefault_scoring_matches_reference(data_dir):
+    """match=2 mismatch=-3 gap_open=-4 gap_extend=-2: different op/flag
+    tie paths, rescore junction correction, sentinel headroom."""
+    d = data_dir / "scoring"
+    params = Params.from_cfg(d / "params.cfg")
+    assert (params.match, params.mismatch, params.gap_open,
+            params.gap_extend) == (2, -3, -4, -2)
+    reads = parse_fasta(d / "reads.fasta")
+    result = run_pipeline(reads, reads, params, same_file=True,
+                          batch_size=64)
+    want = set((d / "out.darwin").read_text().splitlines())
+    assert set(result.records) == want

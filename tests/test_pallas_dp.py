@@ -43,3 +43,29 @@ def test_pallas_tpu_matches_jax():
     if jax.default_backend() not in ("tpu", "axon"):
         pytest.skip("needs TPU")
     _compare(256, 320, 3, 128, interpret=False)
+
+
+@pytest.mark.parametrize("sc", [(2, -3, -4, -2), (5, -4, -8, -6),
+                                (3, -1, -2, -1)])
+def test_pallas_matches_jax_nondefault_scoring(sc):
+    import numpy as np
+    from darwin_tpu.ops.pallas_dp import align_tiles_pallas
+    from darwin_tpu.ops.reference_dp import align_tiles_jax
+    m, mm, go, ge = sc
+    rng = np.random.default_rng(sum(abs(x) for x in sc))
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    B, T = 16, 64
+    ref = alpha[rng.integers(0, 4, size=(B, T))]
+    query = ref.copy()
+    mut = rng.random((B, T)) < 0.15
+    query[mut] = alpha[rng.integers(0, 4, size=int(mut.sum()))]
+    rlen = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+    qlen = rng.integers(T // 2, T + 1, size=B).astype(np.int32)
+    kw = dict(match=m, mismatch=mm, gap_open=go, gap_extend=ge)
+    want = align_tiles_jax(ref, query, rlen, qlen, **kw)
+    got = align_tiles_pallas(ref, query, rlen, qlen, block_b=8,
+                             interpret=True, **kw)
+    np.testing.assert_array_equal(got["dir"][:, :, :T + 1],
+                                  want["dir"][:, :, :T + 1])
+    for k in ("max_score", "max_i", "max_j", "pos_score"):
+        np.testing.assert_array_equal(got[k], want[k])
