@@ -55,3 +55,19 @@ def test_pipeline_nondefault_scoring_matches_reference(data_dir):
                           batch_size=64)
     want = set((d / "out.darwin").read_text().splitlines())
     assert set(result.records) == want
+
+
+@pytest.mark.slow
+def test_pipeline_nondefault_dsoft_params_matches_reference(data_dir):
+    """k=12, w=3, bin=128, threshold=15, num_seeds=300: different
+    minimizer scan ranges, table geometry, bin mapping, and seed caps
+    against the reference binary's output."""
+    d = data_dir / "dsoftp"
+    params = Params.from_cfg(d / "params.cfg")
+    assert (params.seed_size, params.bin_size, params.window_size,
+            params.threshold, params.num_seeds) == (12, 128, 3, 15, 300)
+    reads = parse_fasta(d / "reads.fasta")
+    result = run_pipeline(reads, reads, params, same_file=True,
+                          batch_size=64)
+    want = set((d / "out.darwin").read_text().splitlines())
+    assert set(result.records) == want
