@@ -66,7 +66,7 @@ def main() -> None:
             out = align_tiles_pallas(r, q, rlen, qlen, block_b=128, **kw)
         else:
             out = align_tiles_jax(r, q, rlen, qlen, **kw)
-        ops, i_s, j_s = traceback_jax(out["dir"], rlen, qlen, firsts,
+        ops, _mb, i_s, j_s = traceback_jax(out["dir"], rlen, qlen, firsts,
                                       out["max_i"], out["max_j"],
                                       early_terminate=ET)
         # Reduce over every output so nothing is dead-code-eliminated.

@@ -61,7 +61,7 @@ class JaxTileAligner:
                 out = align_tiles_jax(ref, query, rlen, qlen, match=match,
                                       mismatch=mismatch, gap_open=gap_open,
                                       gap_extend=gap_extend)
-            ops, i_steps, j_steps = traceback_jax(
+            ops, _mb, i_steps, j_steps = traceback_jax(
                 out["dir"], rlen, qlen, first, out["max_i"],
                 out["max_j"], early_terminate=early_terminate)
             score = jax.numpy.where(first, out["max_score"],

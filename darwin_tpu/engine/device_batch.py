@@ -82,36 +82,28 @@ def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
                                  block_b=min(st.block_b, st.B), **kw)
     else:
         out = align_tiles_jax(ref_t, query_t, rlen, qlen, **kw)
-    ops, i_steps, j_steps = traceback_jax(
+    ops, mbits, i_steps, j_steps = traceback_jax(
         out["dir"], rlen, qlen, first_b, out["max_i"], out["max_j"],
         early_terminate=st.ET)
     score = jnp.where(first_b, out["max_score"], out["pos_score"])
-    return ops.T, i_steps, j_steps, score, out["max_i"], out["max_j"]
+    return (ops.T, mbits.T, i_steps, j_steps, score, out["max_i"],
+            out["max_j"])
 
 
-def _score_ops(st: _Static, opsT, gconcat, qflat, gs, qs_off,
-               rp, qp, rev, prev_gap):
-    """Device port of engine/scoring.py::score_ops_batch."""
+def _score_ops(st: _Static, opsT, mbitsT, prev_gap):
+    """Device port of engine/scoring.py::score_ops_batch.
+
+    Match/mismatch per MATCH op comes from the dir byte's MATCH_BIT
+    (carried through the traceback), so no sequence gathers and no
+    walked-position cumsums are needed — re-gathering the chars from
+    the flat banks measured ~6 ms/iteration at B=1024.
+    """
     opsT = opsT.astype(I32)
     valid = opsT != 0
     is_gap = (opsT == 1) | (opsT == 2)
     is_m = opsT == 3
 
-    ref_consume = is_m | (opsT == 2)
-    query_consume = is_m | (opsT == 1)
-    j_before = jnp.cumsum(ref_consume, axis=1) - ref_consume
-    i_before = jnp.cumsum(query_consume, axis=1) - query_consume
-
-    revc = rev[:, None]
-    ref_idx = jnp.where(revc, rp[:, None] - j_before - 1,
-                        rp[:, None] + j_before)
-    query_idx = jnp.where(revc, qp[:, None] - i_before - 1,
-                          qp[:, None] + i_before)
-    rc = jnp.take(gconcat, jnp.clip(gs[:, None] + ref_idx, 0,
-                                    len(gconcat) - 1), mode="clip")
-    qc = jnp.take(qflat, jnp.clip(qs_off[:, None] + query_idx, 0,
-                                  len(qflat) - 1), mode="clip")
-    m_contrib = jnp.where(rc == qc, st.match, st.mismatch)
+    m_contrib = jnp.where(mbitsT, st.match, st.mismatch)
 
     prev_col_gap = jnp.concatenate(
         [prev_gap[:, None], is_gap[:, :-1]], axis=1)
@@ -280,8 +272,8 @@ def _make_engine_fn(st: _Static):
                 jnp.uint8(PAD_QUERY))
 
             # ---- align ----------------------------------------------
-            opsT, i_steps, j_steps, tscore, max_i, max_j = _align(
-                st, ref_t, query_t, rl, ql, first_b)
+            opsT, mbitsT, i_steps, j_steps, tscore, max_i, max_j = (
+                _align(st, ref_t, query_t, rl, ql, first_b))
 
             # ---- postprocess (gact.cpp:427-550) ---------------------
             ra_r = jnp.where(rev2, p_r - rl + max_i, p_r + rl - max_i)
@@ -299,8 +291,7 @@ def _make_engine_fn(st: _Static):
             opsT = opsT * apply[:, None]
             if st.compute_score:
                 delta, new_pg, first_gap, has_ops = _score_ops(
-                    st, opsT, gconcat, qflat, gsp[ci2], qsp[ci2],
-                    rp_t, qp_t, rev2, prev_gap[ci2])
+                    st, opsT, mbitsT, prev_gap[ci2])
                 score = scatter(score, ci2, score[ci2] + delta, apply)
                 prev_gap = scatter(prev_gap, ci2, new_pg, apply)
             else:

@@ -98,6 +98,8 @@ def align_with_bt(ref: np.ndarray, query: np.ndarray,
                 op += 2 << INSERT_OP
             if del_open >= del_extend:
                 op += 2 << DELETE_OP
+            if query_nt == ref_nt:
+                op += 16  # MATCH_BIT extension, see ops/common.py
             dir_matrix[i, j] = op
 
             if h_wr[j] >= max_score:

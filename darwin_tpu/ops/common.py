@@ -8,6 +8,11 @@ INSERT=2, MATCH=3; direction bytes carry "gap-open won" flags
 ZERO_OP, DELETE_OP, INSERT_OP, MATCH_OP = 0, 1, 2, 3
 GAP_OPEN_FLAG_I = 2 << INSERT_OP  # 8
 GAP_OPEN_FLAG_D = 2 << DELETE_OP  # 4
+# Extension over the reference's 4-bit dir layout: bit 4 records char
+# equality at the cell, so rescoring after traceback needs no sequence
+# gathers.  The reference's traceback semantics (op = byte % 4, flag
+# tests & 8 / & 4) are unaffected.
+MATCH_BIT = 16
 
 # Large negative standing in for the reference's -(1<<30) (align.h:18);
 # small enough that adding gap penalties cannot wrap int32.

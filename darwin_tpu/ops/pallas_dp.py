@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from darwin_tpu.ops.common import (GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I,
-                                   NEG_INF, PAD_QUERY, PAD_REF)
+                                   MATCH_BIT, NEG_INF, PAD_QUERY,
+                                   PAD_REF)
 
 ROWS_PER_STEP = 8
 NEG16 = -20000  # int16 -INF sentinel; bounds checked in _score_dtype
@@ -120,7 +121,8 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             i = ib * ROWS_PER_STEP + r  # DP row is i+1
             ip1 = jax.lax.convert_element_type(i + 1, sdt)
             rc = rc8[:, r: r + 1]                            # [BB, 1]
-            match_s = jnp.where(qs == rc, c(match), c(mismatch))
+            is_eq = qs == rc
+            match_s = jnp.where(is_eq, c(match), c(mismatch))
 
             m_new = jnp.maximum(shift_right(prev3, 1, 0) + match_s,
                                 c(0))
@@ -166,6 +168,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             op = op + jnp.where(ins_open >= ins_ext,
                                 c(GAP_OPEN_FLAG_I), c(0))
             op = op + jnp.where(flag_d, c(GAP_OPEN_FLAG_D), c(0))
+            op = op + jnp.where(is_eq, c(MATCH_BIT), c(0))
 
             rvalid = ip1 <= rlen
             valid = jvalid & rvalid

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from darwin_tpu.ops.common import (GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I,
-                                   NEG_INF)
+                                   MATCH_BIT, NEG_INF)
 
 
 def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
@@ -81,7 +81,8 @@ def align_tiles_jax(ref: jnp.ndarray, query: jnp.ndarray,
     def row(i, carry):
         m_prev, i_prev, d_prev, dirm, max_s, max_i, max_j, pos_s = carry
         r = jax.lax.dynamic_slice_in_dim(ref, i - 1, 1, axis=1)  # [B,1]
-        match_s = jnp.where(qs == r, match, mismatch).astype(dt)
+        is_eq = qs == r
+        match_s = jnp.where(is_eq, match, mismatch).astype(dt)
 
         prev3 = jnp.maximum(jnp.maximum(m_prev, i_prev), d_prev)
         m_new = jnp.maximum(_shift_right(prev3, 0) + match_s, 0)
@@ -114,6 +115,7 @@ def align_tiles_jax(ref: jnp.ndarray, query: jnp.ndarray,
                             jnp.uint8(GAP_OPEN_FLAG_I), jnp.uint8(0))
         op = op + jnp.where(del_open >= del_ext,
                             jnp.uint8(GAP_OPEN_FLAG_D), jnp.uint8(0))
+        op = op + jnp.where(is_eq, jnp.uint8(MATCH_BIT), jnp.uint8(0))
 
         rvalid = (i <= ref_len)[:, None]
         op = jnp.where(jvalid & rvalid, op, jnp.uint8(0))

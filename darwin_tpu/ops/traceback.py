@@ -21,7 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from darwin_tpu.ops.common import GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I
+from darwin_tpu.ops.common import (GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I,
+                                   MATCH_BIT)
 
 
 @functools.partial(jax.jit, static_argnames=("early_terminate",))
@@ -38,6 +39,9 @@ def traceback_jax(dirm: jnp.ndarray, ref_len: jnp.ndarray,
 
     Returns:
       ops: [S, B] uint8 op stream in walk order (0 = none), S = 2*ET-1.
+      mbits: [S, B] bool — for MATCH ops, whether the cell's chars were
+        equal (the dir byte's MATCH_BIT), so rescoring needs no
+        sequence gathers; False for non-MATCH ops.
       i_steps, j_steps: [B] int32 ref/query steps consumed.
     """
     B, T, C = dirm.shape
@@ -73,7 +77,10 @@ def traceback_jax(dirm: jnp.ndarray, ref_len: jnp.ndarray,
     def step(carry):
         s, ops, val, state, i, j, i_steps, j_steps = carry
         active = (state != 0) & (i_steps < ET) & (j_steps < ET)
-        ops = ops.at[s].set(jnp.where(active, state, 0).astype(jnp.uint8))
+        # One scatter carries both the op and, for MATCH ops, the
+        # current cell's MATCH_BIT; they are split after the loop.
+        rec = state + jnp.where(state == 3, val & MATCH_BIT, 0)
+        ops = ops.at[s].set(jnp.where(active, rec, 0).astype(jnp.uint8))
 
         is_m = state == 3
         is_i = state == 2
@@ -100,6 +107,6 @@ def traceback_jax(dirm: jnp.ndarray, ref_len: jnp.ndarray,
 
     state0 = val0 % 4
     carry = (jnp.int32(0), ops0, val0, state0, i0, j0, zero, zero)
-    _, ops, _, _, _, _, i_steps, j_steps = jax.lax.while_loop(
+    _, raw, _, _, _, _, i_steps, j_steps = jax.lax.while_loop(
         cond, step, carry)
-    return ops, i_steps, j_steps
+    return raw & 3, raw >= MATCH_BIT, i_steps, j_steps

@@ -63,7 +63,7 @@ def sharded_tile_step(mesh: Mesh, *, early_terminate: int, match: int,
             out = align_tiles_jax(
                 ref, query, rlen, qlen, match=match, mismatch=mismatch,
                 gap_open=gap_open, gap_extend=gap_extend)
-        ops, i_steps, j_steps = traceback_jax(
+        ops, _mb, i_steps, j_steps = traceback_jax(
             out["dir"], rlen, qlen, first, out["max_i"], out["max_j"],
             early_terminate=early_terminate)
         score = jnp.where(first, out["max_score"], out["pos_score"])

@@ -40,7 +40,7 @@ def make_batch(rng, B, T, minlen=1, alpha=b"ACGT"):
 def run_batch(ref, query, rlen, qlen, first, et):
     out = align_tiles_jax(ref, query, rlen, qlen, match=MATCH,
                           mismatch=MISMATCH, gap_open=GO, gap_extend=GE)
-    ops, i_steps, j_steps = traceback_jax(
+    ops, mb, i_steps, j_steps = traceback_jax(
         out["dir"], rlen, qlen, first, out["max_i"], out["max_j"],
         early_terminate=et)
     return out, np.asarray(ops), np.asarray(i_steps), np.asarray(j_steps)

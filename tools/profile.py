@@ -59,7 +59,7 @@ def profile_kernel(args) -> None:
     @jax.jit
     def step(r, q):
         out = align_tiles_pallas(r, q, rlen, rlen, **kw)
-        ops, i_s, j_s = traceback_jax(out["dir"], rlen, rlen, firsts,
+        ops, _mb, i_s, j_s = traceback_jax(out["dir"], rlen, rlen, firsts,
                                       out["max_i"], out["max_j"],
                                       early_terminate=200)
         return (ops.astype(jnp.int32).sum() + i_s.sum() + j_s.sum()

@@ -53,7 +53,7 @@ def main() -> None:
     # Traceback on TPU
     first = np.ones(B, dtype=bool)
     t0 = time.time()
-    ops, i_s, j_s = jax.block_until_ready(traceback_jax(
+    ops, _mb, i_s, j_s = jax.block_until_ready(traceback_jax(
         got["dir"], rlen, qlen, first, got["max_i"], got["max_j"],
         early_terminate=200))
     print(f"traceback compile+run: {time.time()-t0:.1f}s")
