@@ -39,6 +39,8 @@ from darwin_tpu.index.genome import Genome
 from darwin_tpu.ops.common import PAD_QUERY, PAD_REF
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
+from darwin_tpu.ops.tile_fetch import (ROW, build_combined_bank,
+                                       fetch_tiles)
 from darwin_tpu.ops.traceback import traceback_jax
 
 I32 = jnp.int32
@@ -122,8 +124,14 @@ def _score_ops(st: _Static, opsT, mbitsT, prev_gap):
     return delta, new_prev_gap, first_col_gap, has_ops
 
 
-def _make_engine_fn(st: _Static):
-    """Build the jitted whole-batch engine function."""
+def _make_engine_fn(st: _Static, use_fetch: bool = False,
+                    GP_G: int = 0, GP_Q: int = 0):
+    """Build the jitted whole-batch engine function.
+
+    With use_fetch, gconcat/qflat are combined [rows, 1, ROW] banks
+    (ops/tile_fetch.py) with forward copies of padded length GP_G/GP_Q;
+    otherwise they are the flat 1-D padded banks.
+    """
     B, T, Ncap = st.B, st.T, st.Ncap
     DUMP = Ncap  # scatter target for masked-off lanes
 
@@ -253,23 +261,46 @@ def _make_engine_fn(st: _Static):
             k = jnp.arange(T, dtype=I32)[None, :]
             # Reverse tiles read [pos-rl, pos) forward; forward tiles
             # read [pos, pos+rl) back-to-front (align.cpp:130 order).
-            ridx = jnp.where(rev2[:, None],
-                             (p_r - rl)[:, None] + k,
-                             (p_r + rl)[:, None] - 1 - k)
-            qidx = jnp.where(rev2[:, None],
-                             (p_q - ql)[:, None] + k,
-                             (p_q + ql)[:, None] - 1 - k)
-            ref_t = jnp.where(
-                k < rl[:, None],
-                jnp.take(gconcat, jnp.clip(gsp[ci2][:, None] + ridx, 0,
-                                           len(gconcat) - 1),
-                         mode="clip"),
-                jnp.uint8(PAD_REF))
-            query_t = jnp.where(
-                k < ql[:, None],
-                jnp.take(qflat, jnp.clip(qsp[ci2][:, None] + qidx, 0,
-                                         len(qflat) - 1), mode="clip"),
-                jnp.uint8(PAD_QUERY))
+            if use_fetch:
+                # Both orientations are contiguous spans of the
+                # combined (forward + reversed) banks; one Pallas
+                # span-fetch each replaces the ~11 ns/element XLA
+                # gathers (ops/tile_fetch.py).
+                eff_r = jnp.where(
+                    rev2, gsp[ci2] + p_r - rl,
+                    2 * GP_G - (gsp[ci2] + p_r) - rl)
+                eff_q = jnp.where(
+                    rev2, qsp[ci2] + p_q - ql,
+                    2 * GP_Q - (qsp[ci2] + p_q) - ql)
+                ref_f = fetch_tiles(eff_r, gconcat, T=T,
+                                    n_rows=gconcat.shape[0])
+                query_f = fetch_tiles(eff_q, qflat, T=T,
+                                      n_rows=qflat.shape[0])
+                ref_t = jnp.where(k < rl[:, None], ref_f[:, :T],
+                                  jnp.uint8(PAD_REF))
+                query_t = jnp.where(k < ql[:, None], query_f[:, :T],
+                                    jnp.uint8(PAD_QUERY))
+            else:
+                ridx = jnp.where(rev2[:, None],
+                                 (p_r - rl)[:, None] + k,
+                                 (p_r + rl)[:, None] - 1 - k)
+                qidx = jnp.where(rev2[:, None],
+                                 (p_q - ql)[:, None] + k,
+                                 (p_q + ql)[:, None] - 1 - k)
+                ref_t = jnp.where(
+                    k < rl[:, None],
+                    jnp.take(gconcat,
+                             jnp.clip(gsp[ci2][:, None] + ridx, 0,
+                                      gconcat.shape[0] - 1),
+                             mode="clip"),
+                    jnp.uint8(PAD_REF))
+                query_t = jnp.where(
+                    k < ql[:, None],
+                    jnp.take(qflat,
+                             jnp.clip(qsp[ci2][:, None] + qidx, 0,
+                                      qflat.shape[0] - 1),
+                             mode="clip"),
+                    jnp.uint8(PAD_QUERY))
 
             # ---- align ----------------------------------------------
             opsT, mbitsT, i_steps, j_steps, tscore, max_i, max_j = (
@@ -357,16 +388,28 @@ class DeviceGactEngine:
             same_file=same_file, compute_score=compute_score,
             backend=backend, block_b=block_b)
         # Pad banks to power-of-two buckets so compiled engines are
-        # reusable across datasets of similar size (gathers are clipped
-        # and masked, so padding bytes are never observed).
+        # reusable across datasets of similar size (gathers/fetches are
+        # clipped and masked, so padding bytes are never observed).
         gpad = _bucket(max(1, len(genome.concat)), 4096)
         qpad = _bucket(max(1, len(queries.flat)), 4096)
-        self._gconcat = jax.device_put(np.pad(
-            genome.concat, (0, gpad - len(genome.concat)),
-            constant_values=PAD_REF))
-        self._qflat = jax.device_put(np.pad(
-            queries.flat, (0, qpad - len(queries.flat)),
-            constant_values=PAD_QUERY))
+        gflat = np.pad(genome.concat, (0, gpad - len(genome.concat)),
+                       constant_values=PAD_REF)
+        qflat = np.pad(queries.flat, (0, qpad - len(queries.flat)),
+                       constant_values=PAD_QUERY)
+        # The span-fetch kernel needs a TPU backend and tiles that fit
+        # its two-row window.
+        TP = -(-tile_size // 128) * 128
+        self._use_fetch = (backend == "pallas"
+                           and TP + ROW - 1 <= 2 * ROW)
+        if self._use_fetch:
+            gbank, self._GP_G = build_combined_bank(gflat, PAD_REF)
+            qbank, self._GP_Q = build_combined_bank(qflat, PAD_QUERY)
+            self._gconcat = jax.device_put(gbank)
+            self._qflat = jax.device_put(qbank)
+        else:
+            self._GP_G = self._GP_Q = 0
+            self._gconcat = jax.device_put(gflat)
+            self._qflat = jax.device_put(qflat)
         self._g_start_all = (genome.chr_id_to_start_bin
                              * genome.bin_size).astype(np.int32)
 
@@ -383,11 +426,12 @@ class DeviceGactEngine:
         bb = min(self._static.block_b, B_eff)
         B_eff = -(-B_eff // bb) * bb
         st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff)
-        key = (dataclasses.astuple(st), len(self._gconcat),
-               len(self._qflat))
+        key = (dataclasses.astuple(st), self._use_fetch,
+               self._gconcat.shape, self._qflat.shape)
         fn = _ENGINE_FN_CACHE.get(key)
         if fn is None:
-            fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(st)
+            fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(
+                st, self._use_fetch, self._GP_G, self._GP_Q)
 
         def pad(x, fill=0):
             return np.concatenate(
