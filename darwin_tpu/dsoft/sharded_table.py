@@ -21,10 +21,11 @@ Design (one shard_map'd XLA program; all shapes fixed):
    budget and tags them (read, minimizer-position, hit) — the tag pair
    (m_pos, hit) totally orders tuples within a read exactly like the
    reference's scan order (minimizer order, then pos-table order).
-4. tuples are ``all_gather``ed over the mesh (the hit exchange; an
-   all_to_all by read owner is a pure optimization of the same
-   pattern) and each device keeps only the reads it owns (contiguous
-   read blocks).
+4. the hit exchange routes tuples to their read-owner device
+   (contiguous read blocks): either a simple ``all_gather`` (every
+   device sees every tuple, P x traffic) or, with ``a2a_cap`` set, an
+   ``all_to_all`` with per-destination budgets — the ICI-efficient
+   pattern; budget overruns flag the affected reads.
 5. per-(read, bin) counting = multi-key stable sort + segmented prefix
    sum + first-threshold-crossing, the same derivation as
    dsoft/filter.py and dsoft/device.py, then per-read compaction into
@@ -93,7 +94,8 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
                                kmer_max_occ: int, num_seeds_cap: int,
                                threshold: int, max_candidates: int,
                                tup_max: int, cand_max: int,
-                               n_shards: int):
+                               n_shards: int,
+                               a2a_cap: int | None = None):
     """Per-device body (inside shard_map).  queries [R, L] replicated;
     th/tp [1, Nm] = this device's table shard."""
     R, L = queries.shape
@@ -149,12 +151,49 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
     tvalid &= hit >= t_mpos  # seed_pos_table.cpp:135
 
     # --- hit exchange -------------------------------------------------
-    def gather(x):
-        return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+    if a2a_cap is None:
+        # all-gather: every device sees every tuple (P x traffic).
+        def gather(x):
+            return jax.lax.all_gather(x, axis, axis=0, tiled=True)
 
-    a_read = gather(jnp.where(tvalid, t_read, INT32_MAX))
-    a_mpos = gather(t_mpos)
-    a_hit = gather(hit)
+        a_read = gather(jnp.where(tvalid, t_read, INT32_MAX))
+        a_mpos = gather(t_mpos)
+        a_hit = gather(hit)
+    else:
+        # all_to_all: tuples routed to their read-owner device only —
+        # the ICI-efficient exchange.  Per-destination budget a2a_cap;
+        # overruns flag the affected reads (host fallback), never drop
+        # silently.
+        owner = jnp.where(tvalid, t_read // R_local, n_shards)
+        o_s, r2, m2, h2 = jax.lax.sort(
+            (owner, jnp.where(tvalid, t_read, INT32_MAX), t_mpos, hit),
+            num_keys=1, is_stable=True)
+        v2 = o_s != n_shards
+        idx2 = jax.lax.broadcasted_iota(jnp.int32,
+                                        (o_s.shape[0], 1), 0)[:, 0]
+        onew = jnp.concatenate([jnp.ones((1,), bool),
+                                o_s[1:] != o_s[:-1]]) & v2
+        ofirst = _forward_fill_max(jnp.where(onew, idx2, -1))
+        orank = idx2 - ofirst
+
+        dropped = v2 & (orank >= a2a_cap)
+        overflow_read = overflow_read.at[
+            jnp.where(dropped, r2, R)].set(True, mode="drop")
+
+        put2 = v2 & ~dropped
+        tgt2 = jnp.where(put2, o_s * a2a_cap + orank,
+                         n_shards * a2a_cap)
+
+        def route(vals, fill):
+            buf = jnp.full((n_shards * a2a_cap,), fill, jnp.int32).at[
+                tgt2].set(jnp.where(put2, vals, fill), mode="drop")
+            return jax.lax.all_to_all(
+                buf.reshape(n_shards, a2a_cap), axis, split_axis=0,
+                concat_axis=0, tiled=False).reshape(-1)
+
+        a_read = route(r2, INT32_MAX)
+        a_mpos = route(m2, 0)
+        a_hit = route(h2, 0)
     overflow_read = jax.lax.pmax(overflow_read.astype(jnp.int32),
                                  axis) == 1  # [R] replicated
 
@@ -216,7 +255,8 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
 def dsoft_table_sharded_fn(mesh, *, k: int, w: int, bin_size: int,
                            kmer_max_occ: int, num_seeds_cap: int,
                            threshold: int, max_candidates: int,
-                           tup_max: int = 8192, cand_max: int = 512):
+                           tup_max: int = 8192, cand_max: int = 512,
+                           a2a_cap: int | None = None):
     """shard_map'd table-sharded D-SOFT.
 
     Returned fn(queries [R, L] uint8, qlens [R], hash_shards [P, Nm],
@@ -233,7 +273,7 @@ def dsoft_table_sharded_fn(mesh, *, k: int, w: int, bin_size: int,
         bin_size=bin_size, kmer_max_occ=kmer_max_occ,
         num_seeds_cap=num_seeds_cap, threshold=threshold,
         max_candidates=max_candidates, tup_max=tup_max,
-        cand_max=cand_max, n_shards=n_shards)
+        cand_max=cand_max, n_shards=n_shards, a2a_cap=a2a_cap)
 
     fn = jax.shard_map(
         local, mesh=mesh,

@@ -109,3 +109,36 @@ def test_make_sharded_table_hash_aligned():
     # Every entry survives exactly once.
     all_h = np.concatenate([hs[s][hs[s] != 0xFFFFFFFF] for s in range(8)])
     np.testing.assert_array_equal(all_h, gt.hashes)
+
+
+@pytest.mark.parametrize("seed,threshold", [(17, 15), (61, 10)])
+def test_sharded_table_all_to_all_exchange(seed, threshold):
+    """a2a routing must be record-identical to the all-gather exchange
+    (and to the golden spec)."""
+    gt, reads = _fixture(seed)
+    mesh = make_mesh(8)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    fn = dsoft_table_sharded_fn(
+        mesh, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=800,
+        threshold=threshold, max_candidates=10**6, tup_max=4096,
+        cand_max=128, a2a_cap=2048)
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    out = jax.device_get(fn(Q, lens, hs, ps))
+    _check(gt, reads, out, threshold)
+
+
+def test_sharded_table_a2a_cap_overflow_flagged():
+    gt, reads = _fixture(47, repetitive=True, err=0.02)
+    mesh = make_mesh(8)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    fn = dsoft_table_sharded_fn(
+        mesh, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=800,
+        threshold=10, max_candidates=10**6, tup_max=16384,
+        cand_max=256, a2a_cap=8)  # tiny per-destination budget
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    hits, offs, counts, over = jax.device_get(fn(Q, lens, hs, ps))
+    assert over.any()
