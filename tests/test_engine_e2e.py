@@ -71,3 +71,19 @@ def test_pipeline_nondefault_dsoft_params_matches_reference(data_dir):
                           batch_size=64)
     want = set((d / "out.darwin").read_text().splitlines())
     assert set(result.records) == want
+
+
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_pipeline_edge_inputs(engine):
+    """Degenerate inputs: reads shorter than k+w, single read, and a
+    read of all Ns must run clean and emit nothing spurious."""
+    from darwin_tpu.io.fasta import FastaRecord
+    params = Params(tile_size=64, tile_overlap=24)
+    ref = FastaRecord(["tiny_ref"], "ACGTACGTAA" * 30)
+    reads = [FastaRecord(["short"], "ACGT"),          # < k
+             FastaRecord(["allN"], "N" * 200),
+             FastaRecord(["real"], "ACGTACGTAA" * 12)]
+    res = run_pipeline([ref], reads, params, same_file=False,
+                       batch_size=8, engine=engine)
+    for r in res.records:
+        assert "short" not in r and "allN" not in r
