@@ -415,9 +415,17 @@ class DeviceGactEngine:
 
     def run(self, calls: GactCalls, complement: bool
             ) -> list[OverlapRecord]:
+        return self.finish(self.run_async(calls, complement))
+
+    def run_async(self, calls: GactCalls, complement: bool):
+        """Dispatch the whole batch; returns a handle for finish().
+
+        The device computes while the host proceeds (e.g. seeding the
+        other strand); only finish() blocks on the transfer.
+        """
         N = len(calls)
         if N == 0:
-            return []
+            return (None, None, complement)
         Ncap = _bucket(N)
         # Shrink the slot count to the workload: iterations are bounded
         # by max-tiles-per-call, so surplus slots only add per-iteration
@@ -440,14 +448,24 @@ class DeviceGactEngine:
 
         rid = calls.ref_id.astype(np.int64)
         qid = calls.query_id.astype(np.int64)
-        records, nrec = jax.device_get(fn(
+        records_d, nrec_d = fn(
             np.int32(N), self._gconcat, self._qflat,
             pad(rid), pad(qid),
             pad(self._g_start_all[rid]),
             pad(self.genome.piece_lengths[rid].astype(np.int32)),
             pad(self.queries.starts[qid].astype(np.int32)),
             pad(self.queries.lengths[qid].astype(np.int32)),
-            pad(calls.ref_pos), pad(calls.query_pos)))
+            pad(calls.ref_pos), pad(calls.query_pos))
+        return (records_d, nrec_d, complement)
+
+    @staticmethod
+    def finish(handle) -> list[OverlapRecord]:
+        """Block on a run_async handle and decode its records."""
+        records_d, nrec_d, complement = handle
+        if records_d is None:
+            return []
+        import jax
+        records, nrec = jax.device_get((records_d, nrec_d))
         out = []
         for row in np.asarray(records[: int(nrec)]):
             out.append(OverlapRecord(

@@ -191,12 +191,14 @@ def run_pipeline(ref_records: list[FastaRecord],
 
     records: list[str] = []
     counts = []
-    for comp, bank in ((False, fwd_bank), (True, rev_bank)):
-        calls = collect_calls(table, genome, bank, params)
-        counts.append(len(calls))
-        if engine == "device":
-            from darwin_tpu.engine.device_batch import DeviceGactEngine
-            dev = DeviceGactEngine(
+    if engine == "device":
+        # Pipeline the two strands: dispatch each direction's GACT
+        # batch asynchronously so the next direction's host-side
+        # seeding overlaps with device compute.
+        from darwin_tpu.engine.device_batch import DeviceGactEngine
+
+        def mk_engine(bank):
+            return DeviceGactEngine(
                 genome, bank, tile_size=params.tile_size,
                 early_terminate=params.early_terminate,
                 first_tile_score_threshold=(
@@ -205,17 +207,29 @@ def run_pipeline(ref_records: list[FastaRecord],
                 gap_open=params.gap_open, gap_extend=params.gap_extend,
                 same_file=same_file, batch_size=batch_size,
                 compute_score=compute_score, backend=backend)
-            recs = dev.run(calls, comp)
-        else:
-            recs = run_gact_batch(
+
+        handles = []
+        for comp, bank in ((False, fwd_bank), (True, rev_bank)):
+            calls = collect_calls(table, genome, bank, params)
+            counts.append(len(calls))
+            dev = mk_engine(bank)
+            handles.append(dev.run_async(calls, comp))
+        all_recs = [r for h in handles
+                    for r in DeviceGactEngine.finish(h)]
+    else:
+        all_recs = []
+        for comp, bank in ((False, fwd_bank), (True, rev_bank)):
+            calls = collect_calls(table, genome, bank, params)
+            counts.append(len(calls))
+            all_recs.extend(run_gact_batch(
                 genome, bank, calls, tile_size=params.tile_size,
                 first_tile_score_threshold=(
                     params.first_tile_score_threshold),
                 sp=sp, complement=comp, same_file=same_file,
                 aligner=aligner, batch_size=batch_size,
-                compute_score=compute_score)
-        for r in recs:
-            records.append(format_record(
-                genome.names[r.ref_id], read_records[r.query_id].name,
-                r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+                compute_score=compute_score))
+    for r in all_recs:
+        records.append(format_record(
+            genome.names[r.ref_id], read_records[r.query_id].name,
+            r.ab, r.ae, r.bb, r.be, r.score, r.comp))
     return PipelineResult(records, counts[0], counts[1])
