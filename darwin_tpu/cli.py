@@ -200,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
                   f"({len(prior)} records)")
             continue
         lines: list[str] = []
+        handles = []  # async device dispatches (strand overlap)
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
             t0 = time.time()
             if args.dsoft == "device":
@@ -229,7 +230,9 @@ def main(argv: list[str] | None = None) -> int:
                     batch_size=batch_size,
                     compute_score=not args.noscore,
                     backend=args.backend)
-                recs = dev.run(calls, comp)
+                handles.append(dev.run_async(calls, comp))
+                t_gact += time.time() - t0
+                continue
             else:
                 recs = run_gact_batch(
                     genome, bank, calls, tile_size=params.tile_size,
@@ -243,6 +246,16 @@ def main(argv: list[str] | None = None) -> int:
                 lines.append(format_record(
                     genome.names[r.ref_id], read_records[r.query_id].name,
                     r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+        if handles:
+            from darwin_tpu.engine.device_batch import DeviceGactEngine
+            t0 = time.time()
+            for h in handles:
+                for r in DeviceGactEngine.finish(h):
+                    lines.append(format_record(
+                        genome.names[r.ref_id],
+                        read_records[r.query_id].name,
+                        r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+            t_gact += time.time() - t0
         (out_dir / f"darwin.{range_id}.out").write_text(
             "".join(line + "\n" for line in lines))
         all_lines.extend(lines)
