@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from darwin_tpu.engine.batch import SCORE_THRESHOLD, GactCalls, OverlapRecord
+from darwin_tpu.utils import bucket_pow2 as _bucket
 from darwin_tpu.engine.seqbank import SeqBank
 from darwin_tpu.index.genome import Genome
 from darwin_tpu.ops.common import PAD_QUERY, PAD_REF
@@ -49,13 +50,6 @@ I32 = jnp.int32
 # while_loop body is expensive (seconds), and jax.jit's cache keys on
 # function identity, so per-instance closures would retrace every run.
 _ENGINE_FN_CACHE: dict[tuple, object] = {}
-
-
-def _bucket(n: int, lo: int = 64) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 @dataclasses.dataclass

@@ -36,16 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from darwin_tpu.utils import round_up as _round_up
 from darwin_tpu.ops.common import (GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I,
                                    MATCH_BIT, NEG_INF, PAD_QUERY,
                                    PAD_REF)
 
 ROWS_PER_STEP = 8
 NEG16 = -20000  # int16 -INF sentinel; bounds checked in _score_dtype
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _score_dtype(T: int, match: int, mismatch: int, gap_open: int,

@@ -35,12 +35,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from darwin_tpu.utils import round_up as _round_up
+
 ROW = 512
 TILES_PER_STEP = 8
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def build_combined_bank(flat: np.ndarray, pad_byte: int

@@ -84,13 +84,9 @@ def collect_calls_device(table: SeedTable, genome: Genome,
     # Bucket both dims to powers of two so compiled programs are
     # reusable across read batches of similar shape (the jit is keyed
     # on [R, L]; padding is masked out by qlens).
-    def _bucket(n, lo):
-        b = lo
-        while b < n:
-            b *= 2
-        return b
-    RP = _bucket(Q.shape[0], 8)
-    LPad = _bucket(Q.shape[1], 1024)
+    from darwin_tpu.utils import bucket_pow2
+    RP = bucket_pow2(Q.shape[0], 8)
+    LPad = bucket_pow2(Q.shape[1], 1024)
     if (RP, LPad) != Q.shape:
         Q = np.pad(Q, ((0, RP - Q.shape[0]), (0, LPad - Q.shape[1])))
         lens = np.pad(lens, (0, RP - len(lens)))
