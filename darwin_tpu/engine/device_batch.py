@@ -395,14 +395,25 @@ class DeviceGactEngine:
         TP = -(-tile_size // 128) * 128
         self._use_fetch = (backend == "pallas"
                            and TP + ROW - 1 <= 2 * ROW)
+        # The device-resident genome bank is cached per (genome, mode)
+        # so per-strand engine instances over the same reference share
+        # one upload (at human scale the combined bank is gigabytes).
+        cache = getattr(genome, "_device_bank_cache", None)
+        if cache is None:
+            cache = genome._device_bank_cache = {}
+        gkey = (self._use_fetch, len(gflat))
+        if gkey not in cache:
+            if self._use_fetch:
+                gbank, gp = build_combined_bank(gflat, PAD_REF)
+                cache[gkey] = (jax.device_put(gbank), gp)
+            else:
+                cache[gkey] = (jax.device_put(gflat), 0)
+        self._gconcat, self._GP_G = cache[gkey]
         if self._use_fetch:
-            gbank, self._GP_G = build_combined_bank(gflat, PAD_REF)
             qbank, self._GP_Q = build_combined_bank(qflat, PAD_QUERY)
-            self._gconcat = jax.device_put(gbank)
             self._qflat = jax.device_put(qbank)
         else:
-            self._GP_G = self._GP_Q = 0
-            self._gconcat = jax.device_put(gflat)
+            self._GP_Q = 0
             self._qflat = jax.device_put(qflat)
         self._g_start_all = (genome.chr_id_to_start_bin
                              * genome.bin_size).astype(np.int32)
