@@ -133,7 +133,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
         return arr.at[jnp.where(mask, idx, DUMP)].set(val)
 
     def engine(n_calls, gconcat, qflat,
-               rid, qid, g_start, g_len, q_start, q_len,
+               rid, qid, comp, g_start, g_len, q_start, q_len,
                rpos0, qpos0):
         # Call state (index Ncap = dump lane).
         def padded(x, fill=0):
@@ -155,6 +155,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
 
         ridp = padded(rid)
         qidp = padded(qid)
+        compp = padded(comp)
         gsp = padded(g_start)
         glp = padded(g_len)
         qsp = padded(q_start)
@@ -213,7 +214,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 [ridp[ci], qidp[ci], rbpos[ci], rpos[ci], qbpos[ci],
                  qpos[ci],
                  fscore if st.compute_score else jnp.zeros(B, I32),
-                 jnp.zeros(B, I32)], axis=1)
+                 compp[ci]], axis=1)
             krank = jnp.cumsum(keep.astype(I32)) - keep
             records = records.at[
                 jnp.where(keep, nrec + krank, Ncap)].set(rows)
@@ -418,19 +419,23 @@ class DeviceGactEngine:
         self._g_start_all = (genome.chr_id_to_start_bin
                              * genome.bin_size).astype(np.int32)
 
-    def run(self, calls: GactCalls, complement: bool
-            ) -> list[OverlapRecord]:
+    def run(self, calls: GactCalls, complement) -> list[OverlapRecord]:
         return self.finish(self.run_async(calls, complement))
 
-    def run_async(self, calls: GactCalls, complement: bool):
+    def run_async(self, calls: GactCalls, complement, bank_ids=None):
         """Dispatch the whole batch; returns a handle for finish().
 
         The device computes while the host proceeds (e.g. seeding the
         other strand); only finish() blocks on the transfer.
+
+        complement: bool for a single-strand batch, or an [N] array for
+        merged-strand batches.  bank_ids (default query_id) indexes the
+        query bank when it differs from the record read id (merged
+        forward+revcomp banks).
         """
         N = len(calls)
         if N == 0:
-            return (None, None, complement)
+            return (None, None)
         Ncap = _bucket(N)
         # Shrink the slot count to the workload: iterations are bounded
         # by max-tiles-per-call, so surplus slots only add per-iteration
@@ -453,20 +458,24 @@ class DeviceGactEngine:
 
         rid = calls.ref_id.astype(np.int64)
         qid = calls.query_id.astype(np.int64)
+        bid = qid if bank_ids is None else np.asarray(bank_ids,
+                                                     dtype=np.int64)
+        comp = np.broadcast_to(
+            np.asarray(complement, dtype=np.int32), (N,))
         records_d, nrec_d = fn(
             np.int32(N), self._gconcat, self._qflat,
-            pad(rid), pad(qid),
+            pad(rid), pad(qid), pad(comp),
             pad(self._g_start_all[rid]),
             pad(self.genome.piece_lengths[rid].astype(np.int32)),
-            pad(self.queries.starts[qid].astype(np.int32)),
-            pad(self.queries.lengths[qid].astype(np.int32)),
+            pad(self.queries.starts[bid].astype(np.int32)),
+            pad(self.queries.lengths[bid].astype(np.int32)),
             pad(calls.ref_pos), pad(calls.query_pos))
-        return (records_d, nrec_d, complement)
+        return (records_d, nrec_d)
 
     @staticmethod
     def finish(handle) -> list[OverlapRecord]:
         """Block on a run_async handle and decode its records."""
-        records_d, nrec_d, complement = handle
+        records_d, nrec_d = handle
         if records_d is None:
             return []
         import jax
@@ -475,5 +484,5 @@ class DeviceGactEngine:
         for row in np.asarray(records[: int(nrec)]):
             out.append(OverlapRecord(
                 int(row[0]), int(row[1]), int(row[2]), int(row[3]),
-                int(row[4]), int(row[5]), int(row[6]), complement))
+                int(row[4]), int(row[5]), int(row[6]), bool(row[7])))
         return out

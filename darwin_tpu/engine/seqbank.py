@@ -25,3 +25,13 @@ class SeqBank:
     def slice(self, seq_id: int, start: int, length: int) -> np.ndarray:
         s = self.starts[seq_id] + start
         return self.flat[s:s + length]
+
+    @classmethod
+    def concat(cls, a: "SeqBank", b: "SeqBank") -> "SeqBank":
+        """Bank holding a's sequences followed by b's (no copies of the
+        per-sequence arrays; flats are concatenated once)."""
+        out = cls([])
+        out.lengths = np.concatenate([a.lengths, b.lengths])
+        out.starts = np.concatenate([a.starts, b.starts + len(a.flat)])
+        out.flat = np.concatenate([a.flat, b.flat])
+        return out

@@ -188,30 +188,32 @@ def run_pipeline(ref_records: list[FastaRecord],
     records: list[str] = []
     counts = []
     if engine == "device":
-        # Pipeline the two strands: dispatch each direction's GACT
-        # batch asynchronously so the next direction's host-side
-        # seeding overlaps with device compute.
+        # Both strands run as ONE merged engine batch (comp is per-call
+        # data, revcomp reads live in the second half of the merged
+        # bank): one dispatch, shared slot pool, no per-strand tails.
         from darwin_tpu.engine.device_batch import DeviceGactEngine
 
-        def mk_engine(bank):
-            return DeviceGactEngine(
-                genome, bank, tile_size=params.tile_size,
-                early_terminate=params.early_terminate,
-                first_tile_score_threshold=(
-                    params.first_tile_score_threshold),
-                match=params.match, mismatch=params.mismatch,
-                gap_open=params.gap_open, gap_extend=params.gap_extend,
-                same_file=same_file, batch_size=batch_size,
-                compute_score=compute_score, backend=backend)
-
-        handles = []
-        for comp, bank in ((False, fwd_bank), (True, rev_bank)):
-            calls = collect_calls(table, genome, bank, params)
-            counts.append(len(calls))
-            dev = mk_engine(bank)
-            handles.append(dev.run_async(calls, comp))
-        all_recs = [r for h in handles
-                    for r in DeviceGactEngine.finish(h)]
+        num_reads = len(read_records)
+        merged = SeqBank.concat(fwd_bank, rev_bank)
+        dev = DeviceGactEngine(
+            genome, merged, tile_size=params.tile_size,
+            early_terminate=params.early_terminate,
+            first_tile_score_threshold=(
+                params.first_tile_score_threshold),
+            match=params.match, mismatch=params.mismatch,
+            gap_open=params.gap_open, gap_extend=params.gap_extend,
+            same_file=same_file, batch_size=batch_size,
+            compute_score=compute_score, backend=backend)
+        # One D-SOFT pass over both strands (the native engine threads
+        # across all 2R read-strands at once), then one engine batch.
+        calls_m = collect_calls(table, genome, merged, params)
+        comp = (calls_m.query_id >= num_reads).astype(np.int32)
+        counts = [int((comp == 0).sum()), int((comp == 1).sum())]
+        bank_ids = calls_m.query_id
+        calls = GactCalls(calls_m.ref_id, calls_m.query_id % num_reads,
+                          calls_m.ref_pos, calls_m.query_pos)
+        all_recs = DeviceGactEngine.finish(
+            dev.run_async(calls, comp, bank_ids))
     else:
         all_recs = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
