@@ -440,7 +440,9 @@ class DeviceGactEngine:
         # Shrink the slot count to the workload: iterations are bounded
         # by max-tiles-per-call, so surplus slots only add per-iteration
         # cost (measured 2x end-to-end on a 122-call batch, 512 -> 128).
-        B_eff = min(self._static.B, _bucket(N, 64))
+        # Half-octave buckets cap idle-slot waste at 33%.
+        from darwin_tpu.utils import bucket_steps
+        B_eff = min(self._static.B, bucket_steps(N, 64))
         bb = min(self._static.block_b, B_eff)
         B_eff = -(-B_eff // bb) * bb
         st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff)
