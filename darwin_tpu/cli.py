@@ -200,7 +200,27 @@ def main(argv: list[str] | None = None) -> int:
                   f"({len(prior)} records)")
             continue
         lines: list[str] = []
-        handles = []  # async device dispatches (strand overlap)
+        if engine == "device":
+            from darwin_tpu.pipeline import run_device_merged
+            t0 = time.time()
+            recs, cc = run_device_merged(
+                genome, table, fwd_bank, rev_bank, params,
+                same_file=same_file, batch_size=batch_size,
+                compute_score=not args.noscore, backend=args.backend,
+                read_ids=range(lo, hi), num_threads=args.threads,
+                dsoft=args.dsoft)
+            t_gact += time.time() - t0
+            n_cand += sum(cc)
+            print(f"range {range_id}: {cc[0]}+{cc[1]} candidates")
+            for r in recs:
+                lines.append(format_record(
+                    genome.names[r.ref_id],
+                    read_records[r.query_id].name,
+                    r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+            (out_dir / f"darwin.{range_id}.out").write_text(
+                "".join(line + "\n" for line in lines))
+            all_lines.extend(lines)
+            continue
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
             t0 = time.time()
             if args.dsoft == "device":
@@ -217,45 +237,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"range {range_id} comp {int(comp)}: "
                   f"{len(calls)} candidates")
             t0 = time.time()
-            if engine == "device":
-                from darwin_tpu.engine.device_batch import DeviceGactEngine
-                dev = DeviceGactEngine(
-                    genome, bank, tile_size=params.tile_size,
-                    early_terminate=params.early_terminate,
-                    first_tile_score_threshold=(
-                        params.first_tile_score_threshold),
-                    match=params.match, mismatch=params.mismatch,
-                    gap_open=params.gap_open,
-                    gap_extend=params.gap_extend, same_file=same_file,
-                    batch_size=batch_size,
-                    compute_score=not args.noscore,
-                    backend=args.backend)
-                handles.append(dev.run_async(calls, comp))
-                t_gact += time.time() - t0
-                continue
-            else:
-                recs = run_gact_batch(
-                    genome, bank, calls, tile_size=params.tile_size,
-                    first_tile_score_threshold=(
-                        params.first_tile_score_threshold),
-                    sp=sp, complement=comp, same_file=same_file,
-                    aligner=aligner, batch_size=batch_size,
-                    compute_score=not args.noscore)
+            recs = run_gact_batch(
+                genome, bank, calls, tile_size=params.tile_size,
+                first_tile_score_threshold=(
+                    params.first_tile_score_threshold),
+                sp=sp, complement=comp, same_file=same_file,
+                aligner=aligner, batch_size=batch_size,
+                compute_score=not args.noscore)
             t_gact += time.time() - t0
             for r in recs:
                 lines.append(format_record(
                     genome.names[r.ref_id], read_records[r.query_id].name,
                     r.ab, r.ae, r.bb, r.be, r.score, r.comp))
-        if handles:
-            from darwin_tpu.engine.device_batch import DeviceGactEngine
-            t0 = time.time()
-            for h in handles:
-                for r in DeviceGactEngine.finish(h):
-                    lines.append(format_record(
-                        genome.names[r.ref_id],
-                        read_records[r.query_id].name,
-                        r.ab, r.ae, r.bb, r.be, r.score, r.comp))
-            t_gact += time.time() - t0
         (out_dir / f"darwin.{range_id}.out").write_text(
             "".join(line + "\n" for line in lines))
         all_lines.extend(lines)

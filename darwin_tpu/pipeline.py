@@ -160,6 +160,53 @@ def _collect_calls_python(table: SeedTable, genome: Genome,
                      np.concatenate(rpos), np.concatenate(qpos))
 
 
+def run_device_merged(genome: Genome, table: SeedTable,
+                      fwd_bank: SeqBank, rev_bank: SeqBank,
+                      params: Params, *, same_file: bool,
+                      batch_size: int, compute_score: bool = True,
+                      backend: str = "auto", read_ids=None,
+                      num_threads: int | None = None,
+                      dsoft: str = "host"):
+    """Both strands as ONE merged engine batch.
+
+    comp is per-call data and revcomp reads live in the second half of
+    the merged bank: one multithreaded D-SOFT pass over all read-
+    strands, one engine dispatch, a shared slot pool with no per-strand
+    tails.  Returns (records, [n_fwd_candidates, n_rev_candidates]).
+    """
+    from darwin_tpu.engine.device_batch import DeviceGactEngine
+
+    num_reads = len(fwd_bank.lengths)
+    merged = SeqBank.concat(fwd_bank, rev_bank)
+    dev = DeviceGactEngine(
+        genome, merged, tile_size=params.tile_size,
+        early_terminate=params.early_terminate,
+        first_tile_score_threshold=params.first_tile_score_threshold,
+        match=params.match, mismatch=params.mismatch,
+        gap_open=params.gap_open, gap_extend=params.gap_extend,
+        same_file=same_file, batch_size=batch_size,
+        compute_score=compute_score, backend=backend)
+    if read_ids is None:
+        merged_ids = None
+    else:
+        ids = np.asarray(list(read_ids), dtype=np.int64)
+        merged_ids = np.concatenate([ids, ids + num_reads])
+    if dsoft == "device":
+        calls_m = collect_calls_device(table, genome, merged, params,
+                                       read_ids=merged_ids)
+    else:
+        calls_m = collect_calls(table, genome, merged, params,
+                                read_ids=merged_ids,
+                                num_threads=num_threads)
+    comp = (calls_m.query_id >= num_reads).astype(np.int32)
+    counts = [int((comp == 0).sum()), int((comp == 1).sum())]
+    bank_ids = calls_m.query_id
+    calls = GactCalls(calls_m.ref_id, calls_m.query_id % num_reads,
+                      calls_m.ref_pos, calls_m.query_pos)
+    recs = DeviceGactEngine.finish(dev.run_async(calls, comp, bank_ids))
+    return recs, counts
+
+
 def run_pipeline(ref_records: list[FastaRecord],
                  read_records: list[FastaRecord], params: Params,
                  same_file: bool, *, batch_size: int = 512,
@@ -188,32 +235,10 @@ def run_pipeline(ref_records: list[FastaRecord],
     records: list[str] = []
     counts = []
     if engine == "device":
-        # Both strands run as ONE merged engine batch (comp is per-call
-        # data, revcomp reads live in the second half of the merged
-        # bank): one dispatch, shared slot pool, no per-strand tails.
-        from darwin_tpu.engine.device_batch import DeviceGactEngine
-
-        num_reads = len(read_records)
-        merged = SeqBank.concat(fwd_bank, rev_bank)
-        dev = DeviceGactEngine(
-            genome, merged, tile_size=params.tile_size,
-            early_terminate=params.early_terminate,
-            first_tile_score_threshold=(
-                params.first_tile_score_threshold),
-            match=params.match, mismatch=params.mismatch,
-            gap_open=params.gap_open, gap_extend=params.gap_extend,
+        all_recs, counts = run_device_merged(
+            genome, table, fwd_bank, rev_bank, params,
             same_file=same_file, batch_size=batch_size,
             compute_score=compute_score, backend=backend)
-        # One D-SOFT pass over both strands (the native engine threads
-        # across all 2R read-strands at once), then one engine batch.
-        calls_m = collect_calls(table, genome, merged, params)
-        comp = (calls_m.query_id >= num_reads).astype(np.int32)
-        counts = [int((comp == 0).sum()), int((comp == 1).sum())]
-        bank_ids = calls_m.query_id
-        calls = GactCalls(calls_m.ref_id, calls_m.query_id % num_reads,
-                          calls_m.ref_pos, calls_m.query_pos)
-        all_recs = DeviceGactEngine.finish(
-            dev.run_async(calls, comp, bank_ids))
     else:
         all_recs = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
