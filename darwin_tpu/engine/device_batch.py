@@ -488,3 +488,95 @@ class DeviceGactEngine:
                 int(row[0]), int(row[1]), int(row[2]), int(row[3]),
                 int(row[4]), int(row[5]), int(row[6]), bool(row[7])))
         return out
+
+
+class ShardedGactEngine(DeviceGactEngine):
+    """Mesh-sharded whole-batch engine: call shards run independent
+    slot pools on every local device (shard_map; banks replicated, no
+    cross-device traffic — each device's while_loop trips its own
+    count).  The single-process multi-chip rung between the one-chip
+    engine and per-host process parallelism (parallel/distributed.py).
+    """
+
+    def __init__(self, *args, mesh, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mesh = mesh
+        self.n_dev = mesh.devices.size
+
+    def run_async(self, calls: GactCalls, complement, bank_ids=None):
+        from jax.sharding import PartitionSpec as P
+
+        N = len(calls)
+        if N == 0:
+            return (None, None)
+        nd = self.n_dev
+        Ncap = _bucket(-(-N // nd))  # per-device call capacity
+        B_eff = min(self._static.B, Ncap)
+        bb = min(self._static.block_b, B_eff)
+        B_eff = -(-B_eff // bb) * bb
+        st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff)
+        key = ("sharded", dataclasses.astuple(st), self._use_fetch,
+               self._gconcat.shape, self._qflat.shape, nd,
+               self.mesh.axis_names)
+        fn = _ENGINE_FN_CACHE.get(key)
+        if fn is None:
+            base = _make_engine_fn(st, self._use_fetch, self._GP_G,
+                                   self._GP_Q).__wrapped__
+            axis = self.mesh.axis_names[0]
+
+            def local(n_calls, gconcat, qflat, *arrs):
+                rec, nrec = base(n_calls[0], gconcat, qflat, *arrs)
+                return rec, jnp.reshape(nrec, (1,))
+
+            spec_c = P(axis)
+            fn = _ENGINE_FN_CACHE[key] = jax.jit(jax.shard_map(
+                local, mesh=self.mesh,
+                in_specs=(spec_c, P(*(None,) * self._gconcat.ndim),
+                          P(*(None,) * self._qflat.ndim))
+                + (spec_c,) * 9,
+                out_specs=(spec_c, spec_c), check_vma=False))
+
+        def pad(x, fill=0):
+            out = np.full(nd * Ncap, fill, np.int32)
+            out[:N] = x.astype(np.int32)
+            return out
+
+        # Contiguous call blocks per device; per-device counts.
+        n_local = np.zeros(nd, dtype=np.int32)
+        for d in range(nd):
+            n_local[d] = max(0, min(Ncap, N - d * Ncap))
+        rid = calls.ref_id.astype(np.int64)
+        qid = calls.query_id.astype(np.int64)
+        bid = qid if bank_ids is None else np.asarray(bank_ids,
+                                                     dtype=np.int64)
+        comp = np.broadcast_to(
+            np.asarray(complement, dtype=np.int32), (N,))
+        records_d, nrec_d = fn(
+            n_local, self._gconcat, self._qflat,
+            pad(rid), pad(qid), pad(comp),
+            pad(self._g_start_all[rid]),
+            pad(self.genome.piece_lengths[rid].astype(np.int32)),
+            pad(self.queries.starts[bid].astype(np.int32)),
+            pad(self.queries.lengths[bid].astype(np.int32)),
+            pad(calls.ref_pos), pad(calls.query_pos))
+        return ((records_d, nrec_d), None)
+
+    @staticmethod
+    def finish(handle) -> list[OverlapRecord]:
+        h, _ = handle
+        if h is None:
+            return []
+        records_d, nrec_d = h
+        records, nrec = jax.device_get((records_d, nrec_d))
+        records = np.asarray(records)
+        nrec = np.asarray(nrec).reshape(-1)
+        nd = len(nrec)
+        per = records.shape[0] // nd
+        out = []
+        for d in range(nd):
+            for row in records[d * per: d * per + int(nrec[d])]:
+                out.append(OverlapRecord(
+                    int(row[0]), int(row[1]), int(row[2]), int(row[3]),
+                    int(row[4]), int(row[5]), int(row[6]),
+                    bool(row[7])))
+        return out

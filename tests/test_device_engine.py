@@ -21,3 +21,63 @@ def test_device_engine_matches_reference(data_dir, fixture, batch):
     got = set(result.records)
     assert got == want, (
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
+
+
+def test_sharded_gact_engine_matches_single_device(data_dir):
+    """Mesh-sharded engine (independent per-device slot pools) must
+    reproduce the single-device engine's record set."""
+    import jax
+    import numpy as np
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from darwin_tpu.config import Params
+    from darwin_tpu.coding import seq_to_bytes
+    from darwin_tpu.engine.device_batch import (DeviceGactEngine,
+                                                ShardedGactEngine)
+    from darwin_tpu.engine.seqbank import SeqBank
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.io.fasta import parse_fasta, revcomp
+    from darwin_tpu.parallel.mesh import make_mesh
+    from darwin_tpu.pipeline import collect_calls
+
+    d = data_dir / "tiny"
+    params = Params.from_cfg(d / "params.cfg")
+    reads = parse_fasta(d / "reads.fasta")
+    genome = Genome(reads, params.bin_size)
+    table = SeedTable.build(genome.concat, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    fwd = SeqBank([seq_to_bytes(r.seq) for r in reads])
+    rev = SeqBank([seq_to_bytes(revcomp(r.seq)) for r in reads])
+    merged = SeqBank.concat(fwd, rev)
+    calls_m = collect_calls(table, genome, merged, params)
+    R = len(reads)
+    comp = (calls_m.query_id >= R).astype(np.int32)
+    bank_ids = calls_m.query_id
+    from darwin_tpu.engine.batch import GactCalls
+    calls = GactCalls(calls_m.ref_id, calls_m.query_id % R,
+                      calls_m.ref_pos, calls_m.query_pos)
+
+    kw = dict(tile_size=params.tile_size,
+              early_terminate=params.early_terminate,
+              first_tile_score_threshold=(
+                  params.first_tile_score_threshold),
+              match=params.match, mismatch=params.mismatch,
+              gap_open=params.gap_open, gap_extend=params.gap_extend,
+              same_file=True, batch_size=64)
+    single = DeviceGactEngine(genome, merged, **kw)
+    recs1 = single.run(calls, comp)
+    mesh = make_mesh(8)
+    sharded = ShardedGactEngine(genome, merged, mesh=mesh, **kw)
+    recs2 = sharded.finish(sharded.run_async(calls, comp, bank_ids))
+    # bank_ids defaults differ; rerun single with explicit bank_ids.
+    recs1 = single.finish(single.run_async(calls, comp, bank_ids))
+
+    def key(rs):
+        return sorted((r.ref_id, r.query_id, r.ab, r.ae, r.bb, r.be,
+                       r.score, r.comp) for r in rs)
+    assert key(recs1) == key(recs2)
+    assert len(recs1) > 0
