@@ -11,13 +11,15 @@ inside one lax.while_loop:
   first-tile re-anchoring, termination) is expressed as masked vector
   ops over the slot and call tables, with scatter updates — each
   in-flight call lives in exactly one slot, so scatters never collide;
-* tiles are gathered on device from the banks, with forward tiles
-  read back-to-front via reversed gather indices (no separate flip);
+* tiles stream on device from combined forward+reversed banks via the
+  Pallas span-fetch kernel (ops/tile_fetch.py);
 * the DP kernel (Pallas on TPU) and traceback run per iteration;
-* affine rescoring accumulates on device (same formulation as
-  engine/scoring.py, including the anchor-junction correction);
+* affine rescoring accumulates on device from the dir bytes' MATCH_BIT
+  (same formulation as engine/scoring.py, incl. the anchor-junction
+  correction) — no sequence gathers;
 * finished overlaps are scattered into a fixed [n_calls, 8] record
-  buffer; exactly one dispatch per direction, one download at the end.
+  buffer with a per-call complement column, so both strands run as ONE
+  merged batch: one dispatch, one download at the end.
 
 Record semantics are identical to the host engine, which is
 differentially tested against the reference binary; the device engine

@@ -18,10 +18,11 @@ hierarchy:
   step; likewise the anchor-corner score.
 * the in-row query-gap cummax runs as a log2-step shift-max scan on
   the VPU.
-* scores use int16 when the scoring parameters allow (DP values are
-  bounded by ~T * max|param|; int16 halves the vector registers per
-  op), falling back to int32 otherwise.  The reference's -INF becomes
-  a finite sentinel with proven headroom against wraparound.
+* scores are int32 (Mosaic on this target cannot legalize 16-bit
+  vector max; see _score_dtype).  The reference's -INF becomes a
+  finite sentinel with proven headroom against wraparound.
+* each dir byte also carries MATCH_BIT (char equality) so downstream
+  rescoring needs no sequence gathers.
 
 Batch vectorizes across sublanes; lanes carry the query axis
 (TJP = T+1 rounded up to 128).
