@@ -69,6 +69,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=None,
                    help="host threads for the native D-SOFT engine "
                         "(default: all cores)")
+    p.add_argument("--chunk-reads", type=int, default=None,
+                   help="stream the reads file in chunks of N records "
+                        "(bounded memory; reads-vs-reference mode only)")
     p.add_argument("--resume", action="store_true",
                    help="skip read ranges whose darwin.<i>.out already "
                         "exists (restart amortization; the seed table "
@@ -124,12 +127,21 @@ def main(argv: list[str] | None = None) -> int:
           f"({metrics['ref_load_ms']:.0f} ms)")
 
     t0 = time.time()
-    read_records = (ref_records if same_file
-                    else parse_fasta(args.reads))
-    metrics["read_load_ms"] = (time.time() - t0) * 1e3
-    metrics["num_reads"] = len(read_records)
-    print(f"Number of reads: {len(read_records)} "
-          f"({metrics['read_load_ms']:.0f} ms)")
+    chunked = bool(args.chunk_reads) and not same_file
+    if args.chunk_reads and same_file:
+        print("--chunk-reads ignored: self-overlap mode needs the "
+              "whole read set in memory (it IS the reference)")
+    if chunked:
+        read_records = None
+        metrics["read_load_ms"] = 0.0
+        print(f"Streaming reads in chunks of {args.chunk_reads}")
+    else:
+        read_records = (ref_records if same_file
+                        else parse_fasta(args.reads))
+        metrics["read_load_ms"] = (time.time() - t0) * 1e3
+        metrics["num_reads"] = len(read_records)
+        print(f"Number of reads: {len(read_records)} "
+              f"({metrics['read_load_ms']:.0f} ms)")
 
     t0 = time.time()
     if args.seed_table and Path(args.seed_table).exists():
@@ -162,16 +174,21 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Engine: {engine}"
           + (f" (backend {aligner.backend})" if aligner else ""))
 
-    fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
-    rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
-                        for r in read_records])
     sp = ScoreParams(params.match, params.mismatch, params.gap_open,
                      params.gap_extend)
-
-    num_reads = len(read_records)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     all_lines: list[str] = []
+
+    if chunked:
+        return _run_chunked(args, params, genome, table, engine,
+                            aligner, sp, same_file, batch_size,
+                            out_dir, metrics)
+
+    fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
+    rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
+                        for r in read_records])
+    num_reads = len(read_records)
 
     if args.distributed:
         from darwin_tpu.parallel import distributed as dist
@@ -278,6 +295,84 @@ def main(argv: list[str] | None = None) -> int:
             "".join(line + "\n" for line in merged))
         print(f"Merged {len(all_lines)} records -> {len(merged)} unique "
               f"in {args.merged_out}")
+    return 0
+
+
+def _run_chunked(args, params, genome, table, engine, aligner, sp,
+                 same_file, batch_size, out_dir, metrics) -> int:
+    """Stream the reads file in fixed-size chunks (bounded memory)."""
+    import itertools
+
+    from darwin_tpu.io.fasta import iter_fasta
+
+    t_align = 0.0
+    n_cand = 0
+    n_reads = 0
+    all_lines: list[str] = []
+    it = iter_fasta(args.reads)
+    for chunk_id in itertools.count():
+        chunk = list(itertools.islice(it, args.chunk_reads))
+        if not chunk:
+            break
+        n_reads += len(chunk)
+        out_file = out_dir / f"darwin.{chunk_id}.out"
+        if args.resume and out_file.exists():
+            prior = out_file.read_text().splitlines()
+            all_lines.extend(prior)
+            print(f"chunk {chunk_id}: resumed ({len(prior)} records)")
+            continue
+        fwd = SeqBank([seq_to_bytes(r.seq) for r in chunk])
+        rev = SeqBank([seq_to_bytes(revcomp(r.seq)) for r in chunk])
+        t0 = time.time()
+        lines: list[str] = []
+        if engine == "device":
+            from darwin_tpu.pipeline import run_device_merged
+            recs, cc = run_device_merged(
+                genome, table, fwd, rev, params, same_file=same_file,
+                batch_size=batch_size, compute_score=not args.noscore,
+                backend=args.backend, num_threads=args.threads,
+                dsoft=args.dsoft)
+            n_cand += sum(cc)
+        else:
+            recs = []
+            for comp, bank in ((False, fwd), (True, rev)):
+                calls = collect_calls(table, genome, bank, params,
+                                      num_threads=args.threads)
+                n_cand += len(calls)
+                recs.extend(run_gact_batch(
+                    genome, bank, calls, tile_size=params.tile_size,
+                    first_tile_score_threshold=(
+                        params.first_tile_score_threshold),
+                    sp=sp, complement=comp, same_file=same_file,
+                    aligner=aligner, batch_size=batch_size,
+                    compute_score=not args.noscore))
+        t_align += time.time() - t0
+        for r in recs:
+            lines.append(format_record(
+                genome.names[r.ref_id], chunk[r.query_id].name,
+                r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+        out_file.write_text("".join(line + "\n" for line in lines))
+        all_lines.extend(lines)
+        print(f"chunk {chunk_id}: {len(chunk)} reads, "
+              f"{len(lines)} records")
+
+    print(f"Time aligning: {t_align * 1e3:.0f} msec "
+          f"({n_reads} reads streamed)")
+    if args.metrics_json:
+        import json
+        metrics.update(num_reads=n_reads, gact_ms=t_align * 1e3,
+                       seed_ms=0.0, num_candidates=n_cand,
+                       num_records=len(all_lines), engine=engine,
+                       dsoft=args.dsoft,
+                       reads_per_s=n_reads / max(1e-9, t_align))
+        Path(args.metrics_json).write_text(
+            json.dumps(metrics, indent=2) + "\n")
+    if args.merged_out:
+        merged = sorted(set(all_lines))
+        Path(args.merged_out).write_text(
+            "".join(line + "\n" for line in merged))
+        print(f"Merged {len(all_lines)} records -> {len(merged)} "
+              f"unique in {args.merged_out}")
     return 0
 
 

@@ -89,6 +89,30 @@ def parse_fasta(path: str | Path, *, native: bool | None = None
     return records
 
 
+def iter_fasta(path: str | Path):
+    """Stream records one at a time (same tolerances as parse_fasta);
+    bounds memory for read sets larger than RAM."""
+    fields: list[str] | None = None
+    chunks: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n").rstrip("\r")
+            if not line:
+                continue
+            if line[0] == ">":
+                if fields is not None:
+                    yield FastaRecord(fields, "".join(chunks))
+                fields = split_fields(line)
+                chunks = []
+            else:
+                if fields is None:
+                    raise ValueError(
+                        f"{path}: file begins with non-description line")
+                chunks.append(line)
+    if fields is not None:
+        yield FastaRecord(fields, "".join(chunks))
+
+
 def check_reference_wrap(path: str | Path) -> bool:
     """True iff the file obeys the reference's 70-char wrap rule."""
     last_len = SEQLINE_WRAP_LEN

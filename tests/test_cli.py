@@ -60,3 +60,30 @@ def test_cli_resume_and_metrics(data_dir, tmp_path):
     assert (tmp_path / "darwin.0.out").read_text() == "POISON\n"
     merged = (tmp_path / "out.darwin").read_text().splitlines()
     assert "POISON" in merged
+
+
+@pytest.mark.slow
+def test_cli_chunked_streaming_matches_unchunked(data_dir, tmp_path):
+    """--chunk-reads must produce the same merged record set as the
+    in-memory run (guided fixture: reads vs separate reference)."""
+    d = data_dir / "guided"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+
+    def run(extra, out):
+        cmd = [sys.executable, "-m", "darwin_tpu.cli",
+               str(d / "ref.fasta"), str(d / "reads.fasta"),
+               "--params", str(d / "params.cfg"), "--batch-size", "64",
+               "--out-dir", str(tmp_path / out),
+               "--merged-out", str(tmp_path / f"{out}.darwin")] + extra
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           env=env, cwd=tmp_path)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return (tmp_path / f"{out}.darwin").read_text().splitlines()
+
+    whole = run([], "whole")
+    chunked = run(["--chunk-reads", "5"], "chunk")
+    assert chunked == whole
+    assert (tmp_path / "chunk" / "darwin.3.out").exists()  # 18 reads/5
+    want = sorted(set((d / "out.darwin").read_text().splitlines()))
+    assert chunked == want
