@@ -69,6 +69,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--threads", type=int, default=None,
                    help="host threads for the native D-SOFT engine "
                         "(default: all cores)")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="shard the engine over N local devices "
+                        "(independent per-device slot pools)")
     p.add_argument("--chunk-reads", type=int, default=None,
                    help="stream the reads file in chunks of N records "
                         "(bounded memory; reads-vs-reference mode only)")
@@ -220,12 +223,16 @@ def main(argv: list[str] | None = None) -> int:
         if engine == "device":
             from darwin_tpu.pipeline import run_device_merged
             t0 = time.time()
+            mesh = None
+            if args.mesh:
+                from darwin_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh(args.mesh)
             recs, cc = run_device_merged(
                 genome, table, fwd_bank, rev_bank, params,
                 same_file=same_file, batch_size=batch_size,
                 compute_score=not args.noscore, backend=args.backend,
                 read_ids=range(lo, hi), num_threads=args.threads,
-                dsoft=args.dsoft)
+                dsoft=args.dsoft, mesh=mesh)
             t_gact += time.time() - t0
             n_cand += sum(cc)
             print(f"range {range_id}: {cc[0]}+{cc[1]} candidates")
@@ -327,11 +334,15 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
         lines: list[str] = []
         if engine == "device":
             from darwin_tpu.pipeline import run_device_merged
+            mesh = None
+            if args.mesh:
+                from darwin_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh(args.mesh)
             recs, cc = run_device_merged(
                 genome, table, fwd, rev, params, same_file=same_file,
                 batch_size=batch_size, compute_score=not args.noscore,
                 backend=args.backend, num_threads=args.threads,
-                dsoft=args.dsoft)
+                dsoft=args.dsoft, mesh=mesh)
             n_cand += sum(cc)
         else:
             recs = []

@@ -166,7 +166,7 @@ def run_device_merged(genome: Genome, table: SeedTable,
                       batch_size: int, compute_score: bool = True,
                       backend: str = "auto", read_ids=None,
                       num_threads: int | None = None,
-                      dsoft: str = "host"):
+                      dsoft: str = "host", mesh=None):
     """Both strands as ONE merged engine batch.
 
     comp is per-call data and revcomp reads live in the second half of
@@ -174,18 +174,23 @@ def run_device_merged(genome: Genome, table: SeedTable,
     strands, one engine dispatch, a shared slot pool with no per-strand
     tails.  Returns (records, [n_fwd_candidates, n_rev_candidates]).
     """
-    from darwin_tpu.engine.device_batch import DeviceGactEngine
+    from darwin_tpu.engine.device_batch import (DeviceGactEngine,
+                                                ShardedGactEngine)
 
     num_reads = len(fwd_bank.lengths)
     merged = SeqBank.concat(fwd_bank, rev_bank)
-    dev = DeviceGactEngine(
-        genome, merged, tile_size=params.tile_size,
+    kw = dict(
+        tile_size=params.tile_size,
         early_terminate=params.early_terminate,
         first_tile_score_threshold=params.first_tile_score_threshold,
         match=params.match, mismatch=params.mismatch,
         gap_open=params.gap_open, gap_extend=params.gap_extend,
         same_file=same_file, batch_size=batch_size,
         compute_score=compute_score, backend=backend)
+    if mesh is not None:
+        dev = ShardedGactEngine(genome, merged, mesh=mesh, **kw)
+    else:
+        dev = DeviceGactEngine(genome, merged, **kw)
     if read_ids is None:
         merged_ids = None
     else:
@@ -203,7 +208,7 @@ def run_device_merged(genome: Genome, table: SeedTable,
     bank_ids = calls_m.query_id
     calls = GactCalls(calls_m.ref_id, calls_m.query_id % num_reads,
                       calls_m.ref_pos, calls_m.query_pos)
-    recs = DeviceGactEngine.finish(dev.run_async(calls, comp, bank_ids))
+    recs = dev.finish(dev.run_async(calls, comp, bank_ids))
     return recs, counts
 
 

@@ -87,3 +87,23 @@ def test_cli_chunked_streaming_matches_unchunked(data_dir, tmp_path):
     assert (tmp_path / "chunk" / "darwin.3.out").exists()  # 18 reads/5
     want = sorted(set((d / "out.darwin").read_text().splitlines()))
     assert chunked == want
+
+
+@pytest.mark.slow
+def test_cli_mesh_sharded_engine(data_dir, tmp_path):
+    d = data_dir / "tiny"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    cmd = [sys.executable, "-m", "darwin_tpu.cli",
+           str(d / "reads.fasta"), str(d / "reads.fasta"),
+           "--params", str(d / "params.cfg"), "--batch-size", "64",
+           "--engine", "device", "--mesh", "8",
+           "--out-dir", str(tmp_path),
+           "--merged-out", str(tmp_path / "out.darwin")]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = (tmp_path / "out.darwin").read_text().splitlines()
+    want = sorted(set((d / "out.darwin").read_text().splitlines()))
+    assert got == want
