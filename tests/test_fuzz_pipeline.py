@@ -68,3 +68,38 @@ def test_pipeline_fuzz_matches_golden_spec(seed):
         f"seed {seed}: params {params} "
         f"missing={sorted(want - set(got.records))[:3]} "
         f"extra={sorted(set(got.records) - want)[:3]}")
+
+
+def _guided_instance(seed):
+    rng = np.random.default_rng(seed)
+    params, _ = _instance(seed)  # reuse the randomized parameter draw
+    n_chrom = int(rng.integers(1, 4))
+    chroms = []
+    for c in range(n_chrom):
+        glen = int(rng.integers(2000, 8000))
+        seq = rng.choice(ALPHA[:4], size=glen).astype(np.uint8)
+        chroms.append(FastaRecord([f"chr{c}"],
+                                  seq.tobytes().decode()))
+    reads = []
+    for i in range(int(rng.integers(3, 7))):
+        src = chroms[int(rng.integers(0, n_chrom))]
+        g = np.frombuffer(src.seq.encode(), dtype=np.uint8)
+        s = int(rng.integers(0, max(1, len(g) - 1200)))
+        r = g[s:s + int(rng.integers(400, 1200))].copy()
+        mut = rng.random(len(r)) < float(rng.choice([0.0, 0.08]))
+        r[mut] = rng.choice(ALPHA[:4], size=int(mut.sum()))
+        if rng.random() < 0.4:
+            comp = {65: 84, 84: 65, 67: 71, 71: 67, 78: 78}
+            r = np.array([comp[c] for c in r[::-1]], dtype=np.uint8)
+        reads.append(FastaRecord([f"Q{i}"], r.tobytes().decode()))
+    return params, chroms, reads
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [606, 707, 808])
+def test_pipeline_fuzz_guided_matches_golden_spec(seed):
+    params, chroms, reads = _guided_instance(seed)
+    want = set(golden_pipeline(chroms, reads, params, same_file=False))
+    got = run_pipeline(chroms, reads, params, same_file=False,
+                       batch_size=16)
+    assert set(got.records) == want, f"seed {seed}: params {params}"
