@@ -14,7 +14,7 @@ import dataclasses
 import jax
 import numpy as np
 
-from darwin_tpu.ops.pallas_dp import ROWS_PER_STEP, align_tiles_pallas
+from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
 from darwin_tpu.ops.traceback import traceback_jax
 

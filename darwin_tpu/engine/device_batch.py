@@ -29,7 +29,6 @@ is in turn tested record-for-record against the host engine.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -39,8 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from darwin_tpu.utils import round_up as _round_up
 from darwin_tpu.ops.common import (GAP_OPEN_FLAG_D, GAP_OPEN_FLAG_I,
-                                   MATCH_BIT, NEG_INF, PAD_QUERY,
-                                   PAD_REF)
+                                   MATCH_BIT, NEG_INF, PAD_QUERY)
 
 ROWS_PER_STEP = 8
 NEG16 = -20000  # int16 -INF sentinel; bounds checked in _score_dtype

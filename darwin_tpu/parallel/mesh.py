@@ -19,13 +19,12 @@ references.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from darwin_tpu.engine.aligner import TileResult, default_backend
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
