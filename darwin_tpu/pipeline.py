@@ -1,9 +1,13 @@
 """End-to-end overlap pipeline: load -> index -> D-SOFT -> GACT -> records.
 
 Single-host equivalent of the reference driver's AlignReads flow
-(darwin.cpp:166-449, GPU build): D-SOFT all reads (forward then reverse
-complement), batch the resulting GACT calls, run the tile engine once
-per direction.  Multi-device sharding lives in darwin_tpu.parallel.
+(darwin.cpp:166-449, GPU build).  On the device path both strands run
+as ONE merged engine batch (run_device_merged): a single multithreaded
+D-SOFT pass over all forward + reverse-complement read-strands, then
+one whole-batch GACT dispatch with the complement flag as per-call
+data.  The host path mirrors the reference's per-direction flow.
+Multi-device sharding lives in darwin_tpu.parallel and the mesh=
+option; multi-host in parallel/distributed.py.
 """
 
 from __future__ import annotations
