@@ -1,0 +1,46 @@
+"""Smoke coverage for the tools/ harnesses (CPU, tiny scales)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+ENV = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+       "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+
+
+@pytest.mark.slow
+def test_scale_test_runs_without_reference(tmp_path):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/scale_test.py"),
+         "--genome", "30000", "--reads", "6", "--read-len", "2000",
+         "--error", "0.05", "--workdir", str(tmp_path),
+         "--batch-size", "32"],
+        capture_output=True, text=True, env=ENV, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "skipping differential" in r.stdout
+    assert (tmp_path / "ours.darwin").exists()
+
+
+@pytest.mark.slow
+def test_profile_pipeline_runs(data_dir, tmp_path):
+    d = data_dir / "tiny"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/profile.py"), "pipeline",
+         str(d / "reads.fasta"), str(d / "reads.fasta"),
+         "--params", str(d / "params.cfg"), "--batch-size", "32"],
+        capture_output=True, text=True, env=ENV, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "reads/s" in r.stdout
+
+
+def test_mem_usage_device_mode(tmp_path):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/mem_usage.py"), "device"],
+        capture_output=True, text=True, env=ENV, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
