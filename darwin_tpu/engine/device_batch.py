@@ -41,7 +41,7 @@ from darwin_tpu.index.genome import Genome
 from darwin_tpu.ops.common import PAD_QUERY, PAD_REF
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
-from darwin_tpu.ops.tile_fetch import (ROW, build_combined_bank,
+from darwin_tpu.ops.tile_fetch import (ROW, build_combined_bank_device,
                                        fetch_tiles)
 from darwin_tpu.ops.traceback import traceback_jax
 
@@ -406,14 +406,14 @@ class DeviceGactEngine:
         gkey = (self._use_fetch, len(gflat))
         if gkey not in cache:
             if self._use_fetch:
-                gbank, gp = build_combined_bank(gflat, PAD_REF)
-                cache[gkey] = (jax.device_put(gbank), gp)
+                gbank, gp = build_combined_bank_device(gflat, PAD_REF)
+                cache[gkey] = (gbank, gp)
             else:
                 cache[gkey] = (jax.device_put(gflat), 0)
         self._gconcat, self._GP_G = cache[gkey]
         if self._use_fetch:
-            qbank, self._GP_Q = build_combined_bank(qflat, PAD_QUERY)
-            self._qflat = jax.device_put(qbank)
+            self._qflat, self._GP_Q = build_combined_bank_device(
+                qflat, PAD_QUERY)
         else:
             self._GP_Q = 0
             self._qflat = jax.device_put(qflat)

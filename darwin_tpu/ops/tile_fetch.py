@@ -55,6 +55,18 @@ def build_combined_bank(flat: np.ndarray, pad_byte: int
     return combined.reshape(-1, 1, ROW), GP
 
 
+def build_combined_bank_device(flat: np.ndarray, pad_byte: int):
+    """Host-assembled combined bank uploaded in one device_put.
+
+    Assembling on device (upload forward half only, reverse + concat
+    on device) measured 42 s for a 50 MB bank even warm — XLA lowers
+    the big 1-D uint8 reverse catastrophically — while device_put
+    streams at ~25 MB/s over the same link, so uploading both copies
+    host-assembled wins by an order of magnitude."""
+    bank, GP = build_combined_bank(flat, pad_byte)
+    return jax.device_put(bank), GP
+
+
 def span_starts(starts, lengths, reverse, GP: int):
     """Combined-bank span starts for the engine's tile reads.
 
