@@ -206,6 +206,18 @@ void* dt_dsoft_batch(const uint32_t* hashes, const uint32_t* pos,
   nthreads = static_cast<int>(
       std::max<int64_t>(1, std::min<int64_t>(nthreads, nreads)));
 
+  // Two-level index: a dense prefix array narrows each hash lookup to
+  // one bucket (the memory-bounded form of the reference's dense
+  // index_table, seed_pos_table.cpp:73-94).  PB prefix bits cap the
+  // array at 4M entries; binary search finishes within the bucket.
+  const int pb = std::min(2 * k, 22);
+  const int shift = 2 * k - pb;
+  const size_t nbuckets = size_t{1} << pb;
+  std::vector<uint32_t> prefix(nbuckets + 1, 0);
+  for (int64_t i = 0; i < table_n; ++i)
+    ++prefix[(hashes[i] >> shift) + 1];
+  for (size_t b = 1; b <= nbuckets; ++b) prefix[b] += prefix[b - 1];
+
   auto worker = [&](int tid) {
     std::vector<int64_t> count(static_cast<size_t>(num_bins), 0);
     std::vector<int64_t> last_off(static_cast<size_t>(num_bins), 0);
@@ -225,8 +237,10 @@ void* dt_dsoft_batch(const uint32_t* hashes, const uint32_t* pos,
       for (const uint64_t pm : mins) {
         const uint32_t h = static_cast<uint32_t>(pm >> 32);
         const int64_t offset = static_cast<int64_t>(pm & 0xFFFFFFFFu);
-        const uint32_t* lo = std::lower_bound(hashes, hashes + table_n, h);
-        const uint32_t* up = std::upper_bound(lo, hashes + table_n, h);
+        const uint32_t* bkt_lo = hashes + prefix[h >> shift];
+        const uint32_t* bkt_up = hashes + prefix[(h >> shift) + 1];
+        const uint32_t* lo = std::lower_bound(bkt_lo, bkt_up, h);
+        const uint32_t* up = std::upper_bound(lo, bkt_up, h);
         if (up - lo > kmer_max_occ) continue;
         if (num_seeds > num_seeds_cap) break;
         ++num_seeds;
