@@ -82,7 +82,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.dt_scan_minimizers.argtypes = [u8p, c.c_int64, c.c_int, c.c_int,
                                        c.c_int]
     lib.dt_scan_minimizers.restype = c.c_void_p
-    lib.dt_build_table.argtypes = [u8p, c.c_int64, c.c_int, c.c_int]
+    lib.dt_build_table.argtypes = [u8p, c.c_int64, c.c_int, c.c_int,
+                                   c.c_int]
     lib.dt_build_table.restype = c.c_void_p
     lib.dt_dsoft_batch.argtypes = [
         u32p, u32p, c.c_int64, c.c_int, c.c_int64, c.c_int64, c.c_int64,
@@ -138,12 +139,16 @@ def scan_minimizers(seq: np.ndarray, k: int, w: int, query_conv: bool
     return _take_buf(lib, h)
 
 
-def build_table_keys(ref: np.ndarray, k: int, w: int) -> np.ndarray:
-    """Sorted (hash << 32) | pos seed-table keys (native scan + sort)."""
+def build_table_keys(ref: np.ndarray, k: int, w: int,
+                     num_threads: int | None = None) -> np.ndarray:
+    """Sorted (hash << 32) | pos seed-table keys (native parallel scan
+    + parallel sort)."""
     lib = _load()
     assert lib is not None
+    if num_threads is None:
+        num_threads = os.cpu_count() or 1
     ref = np.ascontiguousarray(ref, dtype=np.uint8)
-    h = lib.dt_build_table(_u8ptr(ref), len(ref), k, w)
+    h = lib.dt_build_table(_u8ptr(ref), len(ref), k, w, num_threads)
     return _take_buf(lib, h)
 
 

@@ -155,9 +155,97 @@ void* dt_scan_minimizers(const uint8_t* seq, int64_t len, int k, int w,
 
 // Seed-table build: reference-convention scan + parallel sort of the
 // (hash << 32) | pos keys (sort by hash, then position).
-void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w) {
+//
+// The scan itself is parallelized EXACTLY: the sequential emit rule
+// ("emit when the window min changes or w positions passed since the
+// last emission") factors into (a) change points, which depend only on
+// a w-window of hashes and are found in parallel chunks, and (b)
+// within each inter-change run [c, c') anchored at its change point
+// (the run before the first change is anchored at the virtual p=0),
+// emissions at c, c+w, c+2w, ... < c' — independent per run.
+void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w,
+                     int nthreads) {
   auto* buf = new U64Buf();
-  minimizer_scan(ref, len, k, w, false, &buf->v);
+  const int64_t s_len = 1 + len / 16;
+  const int64_t hi = 16 * s_len - k - w;
+  const int64_t lo = w - 1;
+  if (hi <= lo) return buf;
+  if (nthreads <= 1 || hi - lo < 1 << 16) {
+    minimizer_scan(ref, len, k, w, false, &buf->v);
+  } else {
+    const std::vector<uint32_t> words = pack_words(ref, len, s_len + 1);
+    const uint32_t mask = static_cast<uint32_t>((1ull << (2 * k)) - 1);
+    const uint64_t mask64 = mask;
+    auto win_min = [&](int64_t p) {
+      uint32_t m = hash32(seed_at(words, p - w + 1, mask64), mask);
+      for (int i = 1; i < w; ++i)
+        m = std::min(m, hash32(seed_at(words, p - w + 1 + i, mask64),
+                               mask));
+      return m;
+    };
+
+    // Pass A: change points, in parallel chunks (virtual change at lo
+    // when m(lo) != 0, matching last_m = 0 initially).
+    const int nt = nthreads;
+    std::vector<std::vector<int64_t>> changes(
+        static_cast<size_t>(nt));
+    {
+      std::vector<std::thread> ths;
+      const int64_t span = (hi - lo + nt - 1) / nt;
+      for (int t = 0; t < nt; ++t) {
+        ths.emplace_back([&, t]() {
+          const int64_t a = lo + t * span;
+          const int64_t b = std::min(hi, a + span);
+          auto& out = changes[static_cast<size_t>(t)];
+          uint32_t prev = (a == lo) ? 0 : win_min(a - 1);
+          for (int64_t p = a; p < b; ++p) {
+            const uint32_t m = win_min(p);
+            if (m != prev) out.push_back(p);
+            prev = m;
+          }
+        });
+      }
+      for (auto& th : ths) th.join();
+    }
+    std::vector<int64_t> cps;
+    cps.push_back(0);  // virtual anchor (emits at multiples of w > 0)
+    for (auto& c : changes) cps.insert(cps.end(), c.begin(), c.end());
+    cps.push_back(hi);
+
+    // Pass B: per-run emissions, parallel over runs.
+    std::vector<std::vector<uint64_t>> outs(static_cast<size_t>(nt));
+    {
+      std::vector<std::thread> ths;
+      const size_t nruns = cps.size() - 1;
+      for (int t = 0; t < nt; ++t) {
+        ths.emplace_back([&, t]() {
+          auto& out = outs[static_cast<size_t>(t)];
+          for (size_t i = static_cast<size_t>(t); i < nruns;
+               i += static_cast<size_t>(nt)) {
+            const int64_t c = cps[i];
+            const int64_t next_c = cps[i + 1];
+            // First emission of the run: the change point itself, or
+            // for the virtual run the first multiple of w >= lo.
+            int64_t p0 = c;
+            if (i == 0) {
+              p0 = ((lo + w - 1) / w) * w;
+              if (p0 < lo) p0 += w;
+            }
+            for (int64_t p = p0; p < next_c; p += w) {
+              if (p < lo) continue;
+              out.push_back((static_cast<uint64_t>(win_min(p)) << 32) |
+                            static_cast<uint64_t>(p));
+            }
+          }
+        });
+      }
+      for (auto& th : ths) th.join();
+    }
+    size_t total = 0;
+    for (auto& o : outs) total += o.size();
+    buf->v.reserve(total);
+    for (auto& o : outs) buf->v.insert(buf->v.end(), o.begin(), o.end());
+  }
 #if defined(_OPENMP)
   __gnu_parallel::sort(buf->v.begin(), buf->v.end());
 #else

@@ -166,3 +166,20 @@ def test_fasta_native_crlf_and_error(tmp_path):
     assert native.parse_fasta(bad) is None  # falls back to pure parser
     with pytest.raises(ValueError):
         parse_fasta(bad)
+
+
+def test_build_table_keys_parallel_scan_matches_numpy():
+    """Refs above the parallel-scan threshold (64k positions) must be
+    bit-exact with the sequential/NumPy formulation."""
+    rng = np.random.default_rng(21)
+    ref = random_seq(rng, 300_000, n_frac=0.01, lower_frac=0.02)
+    for k, w in [(14, 4), (12, 3), (11, 5)]:
+        keys = native.build_table_keys(ref, k, w, num_threads=7)
+        expect = np.sort(ref_minimizers(ref, k, w))
+        np.testing.assert_array_equal(keys, expect, err_msg=f"k={k} w={w}")
+    # Degenerate: a constant reference (one giant min-run) stresses the
+    # virtual-anchor every-w emissions across chunk boundaries.
+    const = np.full(200_000, ord("A"), np.uint8)
+    keys = native.build_table_keys(const, 12, 4, num_threads=5)
+    expect = np.sort(ref_minimizers(const, 12, 4))
+    np.testing.assert_array_equal(keys, expect)
