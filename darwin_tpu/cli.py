@@ -211,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
     t_seed = 0.0
     t_gact = 0.0
     n_cand = 0
+    prebuilt_engine = None
     for range_id, (lo, hi) in zip(range_ids, ranges):
         out_file = out_dir / f"darwin.{range_id}.out"
         if args.resume and out_file.exists():
@@ -221,18 +222,26 @@ def main(argv: list[str] | None = None) -> int:
             continue
         lines: list[str] = []
         if engine == "device":
-            from darwin_tpu.pipeline import run_device_merged
+            from darwin_tpu.pipeline import (make_merged_engine,
+                                             run_device_merged)
             t0 = time.time()
-            mesh = None
-            if args.mesh:
-                from darwin_tpu.parallel.mesh import make_mesh
-                mesh = make_mesh(args.mesh)
+            if prebuilt_engine is None:
+                mesh = None
+                if args.mesh:
+                    from darwin_tpu.parallel.mesh import make_mesh
+                    mesh = make_mesh(args.mesh)
+                # Banks upload once; subsequent ranges reuse the engine.
+                prebuilt_engine = make_merged_engine(
+                    genome, fwd_bank, rev_bank, params,
+                    same_file=same_file, batch_size=batch_size,
+                    compute_score=not args.noscore,
+                    backend=args.backend, mesh=mesh)
             recs, cc = run_device_merged(
                 genome, table, fwd_bank, rev_bank, params,
                 same_file=same_file, batch_size=batch_size,
                 compute_score=not args.noscore, backend=args.backend,
                 read_ids=range(lo, hi), num_threads=args.threads,
-                dsoft=args.dsoft, mesh=mesh)
+                dsoft=args.dsoft, prebuilt=prebuilt_engine)
             t_gact += time.time() - t0
             n_cand += sum(cc)
             print(f"range {range_id}: {cc[0]}+{cc[1]} candidates")

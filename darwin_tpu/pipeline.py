@@ -164,20 +164,14 @@ def _collect_calls_python(table: SeedTable, genome: Genome,
                      np.concatenate(rpos), np.concatenate(qpos))
 
 
-def run_device_merged(genome: Genome, table: SeedTable,
-                      fwd_bank: SeqBank, rev_bank: SeqBank,
-                      params: Params, *, same_file: bool,
-                      batch_size: int, compute_score: bool = True,
-                      backend: str = "auto", read_ids=None,
-                      num_threads: int | None = None,
-                      dsoft: str = "host", mesh=None):
-    """Both strands as ONE merged engine batch.
-
-    comp is per-call data and revcomp reads live in the second half of
-    the merged bank: one multithreaded D-SOFT pass over all read-
-    strands, one engine dispatch, a shared slot pool with no per-strand
-    tails.  Returns (records, [n_fwd_candidates, n_rev_candidates]).
-    """
+def make_merged_engine(genome: Genome, fwd_bank: SeqBank,
+                       rev_bank: SeqBank, params: Params, *,
+                       same_file: bool, batch_size: int,
+                       compute_score: bool = True,
+                       backend: str = "auto", mesh=None):
+    """Build the merged-bank engine once (bank upload included) so
+    callers iterating over read ranges reuse it via run_device_merged's
+    ``prebuilt`` argument."""
     from darwin_tpu.engine.device_batch import (DeviceGactEngine,
                                                 ShardedGactEngine)
 
@@ -195,6 +189,30 @@ def run_device_merged(genome: Genome, table: SeedTable,
         dev = ShardedGactEngine(genome, merged, mesh=mesh, **kw)
     else:
         dev = DeviceGactEngine(genome, merged, **kw)
+    return dev, merged, num_reads
+
+
+def run_device_merged(genome: Genome, table: SeedTable,
+                      fwd_bank: SeqBank, rev_bank: SeqBank,
+                      params: Params, *, same_file: bool,
+                      batch_size: int, compute_score: bool = True,
+                      backend: str = "auto", read_ids=None,
+                      num_threads: int | None = None,
+                      dsoft: str = "host", mesh=None, prebuilt=None):
+    """Both strands as ONE merged engine batch.
+
+    comp is per-call data and revcomp reads live in the second half of
+    the merged bank: one multithreaded D-SOFT pass over all read-
+    strands, one engine dispatch, a shared slot pool with no per-strand
+    tails.  Returns (records, [n_fwd_candidates, n_rev_candidates]).
+    """
+    if prebuilt is not None:
+        dev, merged, num_reads = prebuilt
+    else:
+        dev, merged, num_reads = make_merged_engine(
+            genome, fwd_bank, rev_bank, params, same_file=same_file,
+            batch_size=batch_size, compute_score=compute_score,
+            backend=backend, mesh=mesh)
     if read_ids is None:
         merged_ids = None
     else:
