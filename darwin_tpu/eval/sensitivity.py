@@ -151,3 +151,49 @@ def measure_sensitivity(records: list[str], read_names: list[str],
     tp = sum(1 for h in hovls if h[12] == 1)
     fp = sum(1 for h in hovls if h[12] == 0)
     return EvalResult(tp=tp, fn=fn, fp=fp)
+
+
+def _main(argv=None) -> int:
+    """Script-level usage mirroring measure_sensitivity_PBSIM.py:
+
+        python -m darwin_tpu.eval.sensitivity OUT.darwin READS.fasta \\
+            [--score-thres 600] [--min-length 990] [--min-overlap 1000]
+            [--guided] [--window 50]
+    """
+    import argparse
+
+    from darwin_tpu.io.fasta import parse_fasta
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("overlaps", help="merged overlap records (out.darwin)")
+    p.add_argument("reads", help="reads FASTA with PBSIM-style names")
+    p.add_argument("--score-thres", type=int, default=600)
+    p.add_argument("--min-length", type=int, default=990)
+    p.add_argument("--min-overlap", type=int, default=1000)
+    p.add_argument("--guided", action="store_true",
+                   help="reference-guided mode (+/-window bp position)")
+    p.add_argument("--window", type=int, default=50)
+    args = p.parse_args(argv)
+
+    records = [l for l in open(args.overlaps).read().splitlines() if l]
+    names = [r.name for r in parse_fasta(args.reads)]
+    if args.guided:
+        res = measure_sensitivity_guided(records, len(names),
+                                         score_thres=args.score_thres,
+                                         window=args.window)
+    else:
+        res = measure_sensitivity(records, names,
+                                  score_thres=args.score_thres,
+                                  min_length=args.min_length,
+                                  min_overlap=args.min_overlap)
+    print(f"TP: {res.tp}")
+    print(f"FN: {res.fn}")
+    print(f"FP: {res.fp}")
+    print(f"sensitivity: {res.sensitivity:.6f}")
+    print(f"specificity: {res.specificity:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())
