@@ -203,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
               f"{dist.process_count()}, reads [{rng.start}, {rng.stop})")
     else:
         nr = max(1, args.num_ranges)
-        per = -(-num_reads // nr)
+        per = max(1, -(-num_reads // nr))
         ranges = [(lo, min(num_reads, lo + per))
                   for lo in range(0, num_reads, per)]
         range_ids = list(range(len(ranges)))

@@ -107,3 +107,21 @@ def test_cli_mesh_sharded_engine(data_dir, tmp_path):
     got = (tmp_path / "out.darwin").read_text().splitlines()
     want = sorted(set((d / "out.darwin").read_text().splitlines()))
     assert got == want
+
+
+@pytest.mark.slow
+def test_cli_empty_reads(data_dir, tmp_path):
+    """Zero-read inputs must exit cleanly with empty outputs."""
+    ref = data_dir / "tiny" / "reads.fasta"
+    empty = tmp_path / "empty.fasta"
+    empty.write_text("")
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    cmd = [sys.executable, "-m", "darwin_tpu.cli", str(ref), str(empty),
+           "2", "--params", str(data_dir / "tiny" / "params.cfg"),
+           "--out-dir", str(tmp_path),
+           "--merged-out", str(tmp_path / "out.darwin")]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "out.darwin").read_text() == ""
