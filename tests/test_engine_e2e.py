@@ -89,3 +89,16 @@ def test_pipeline_edge_inputs(engine):
                        batch_size=8, engine=engine)
     for r in res.records:
         assert "short" not in r and "allN" not in r
+
+
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_pipeline_degenerate_references(engine):
+    """Empty and shorter-than-k references run clean, no records."""
+    from darwin_tpu.io.fasta import FastaRecord
+    params = Params(tile_size=64, tile_overlap=24)
+    read = FastaRecord(["r"], "ACGT" * 100)
+    for ref_seq in ("", "ACGTACGT"):
+        res = run_pipeline([FastaRecord(["ref"], ref_seq)], [read],
+                           params, same_file=False, batch_size=8,
+                           engine=engine)
+        assert res.records == []
