@@ -42,6 +42,11 @@ class GoldenSeedTable:
             1 + (self.ref_size >> (2 * kmer_size)))
 
         minimizers = np.sort(ref_minimizers(ref_seq, self.k, self.w))
+        # Positions past the reference end (possible when k + w < 16,
+        # see index/seed_table.py) would be out-of-bounds UB in the
+        # reference's bin decode; excluded by design.
+        minimizers = minimizers[
+            (minimizers & np.uint64(0xFFFFFFFF)) < self.ref_size]
         self.hashes = (minimizers >> np.uint64(32)).astype(np.uint32)
         self.pos_table = (minimizers & np.uint64(0xFFFFFFFF)).astype(
             np.uint32)

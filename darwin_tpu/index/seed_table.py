@@ -56,6 +56,14 @@ class SeedTable:
         else:
             minimizers = np.sort(
                 ref_minimizers(ref_seq, kmer_size, window_size))
+        # For k + w < 16 the reference-convention scan range
+        # 16*(1 + len//16) - k - w extends past the reference end, so
+        # padding positions enter the table; the reference then indexes
+        # its bin->chromosome map out of bounds on such hits
+        # (darwin.cpp:216-223, UB).  Sane semantics: drop them (no
+        # observable difference for the default k=14, w=4).
+        minimizers = minimizers[
+            (minimizers & np.uint64(0xFFFFFFFF)) < ref_size]
         return cls(
             (minimizers >> np.uint64(32)).astype(np.uint32),
             (minimizers & np.uint64(0xFFFFFFFF)).astype(np.uint32),

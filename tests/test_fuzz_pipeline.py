@@ -103,3 +103,16 @@ def test_pipeline_fuzz_guided_matches_golden_spec(seed):
     got = run_pipeline(chroms, reads, params, same_file=False,
                        batch_size=16)
     assert set(got.records) == want, f"seed {seed}: params {params}"
+
+
+@pytest.mark.parametrize("seed", [7032])
+def test_pipeline_fuzz_regression_seeds(seed):
+    """Seeds that exposed real bugs (7032: k+w<16 lets the reference-
+    convention scan emit table positions past the reference end — the
+    reference binary's bin decode is out-of-bounds UB there; we drop
+    such positions at table build)."""
+    params, reads = _instance(seed)
+    want = set(golden_pipeline(reads, reads, params, same_file=True))
+    got = run_pipeline(reads, reads, params, same_file=True,
+                       batch_size=16)
+    assert set(got.records) == want
