@@ -42,7 +42,8 @@ def main() -> None:
     from darwin_tpu.engine.aligner import default_backend
     from darwin_tpu.ops.pallas_dp import align_tiles_pallas
     from darwin_tpu.ops.reference_dp import align_tiles_jax
-    from darwin_tpu.ops.traceback import traceback_jax
+    from darwin_tpu.ops.traceback import (pack_dir_words,
+                                          traceback_packed_jax)
 
     backend = default_backend()
     print(f"backend={jax.default_backend()} kernel={backend} "
@@ -63,12 +64,15 @@ def main() -> None:
 
     def one_step(r, q):
         if backend == "pallas":
-            out = align_tiles_pallas(r, q, rlen, qlen, block_b=128, **kw)
+            out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                     dir_format="packed", **kw)
+            words = out["dir_words"]
         else:
             out = align_tiles_jax(r, q, rlen, qlen, **kw)
-        ops, _mb, i_s, j_s = traceback_jax(out["dir"], rlen, qlen, firsts,
-                                      out["max_i"], out["max_j"],
-                                      early_terminate=ET)
+            words = pack_dir_words(out["dir"])
+        ops, _mb, i_s, j_s = traceback_packed_jax(
+            words, rlen, qlen, firsts, out["max_i"], out["max_j"],
+            early_terminate=ET)
         # Reduce over every output so nothing is dead-code-eliminated.
         return (ops.astype(jnp.int32).sum() + i_s.sum() + j_s.sum()
                 + out["max_score"].sum())

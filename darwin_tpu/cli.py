@@ -325,6 +325,12 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
     n_cand = 0
     n_reads = 0
     all_lines: list[str] = []
+    mesh = None
+    if engine == "device" and args.mesh:
+        # Built once: each chunk's engine differs (banks differ) but the
+        # device mesh does not.
+        from darwin_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
     it = iter_fasta(args.reads)
     for chunk_id in itertools.count():
         chunk = list(itertools.islice(it, args.chunk_reads))
@@ -343,10 +349,6 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
         lines: list[str] = []
         if engine == "device":
             from darwin_tpu.pipeline import run_device_merged
-            mesh = None
-            if args.mesh:
-                from darwin_tpu.parallel.mesh import make_mesh
-                mesh = make_mesh(args.mesh)
             recs, cc = run_device_merged(
                 genome, table, fwd, rev, params, same_file=same_file,
                 batch_size=batch_size, compute_score=not args.noscore,

@@ -16,7 +16,8 @@ import numpy as np
 
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
-from darwin_tpu.ops.traceback import traceback_jax
+from darwin_tpu.ops.traceback import (pack_dir_words,
+                                      traceback_packed_jax)
 
 TPU_PLATFORMS = ("tpu",)
 
@@ -56,13 +57,16 @@ class JaxTileAligner:
                     ref, query, rlen, qlen, match=match,
                     mismatch=mismatch, gap_open=gap_open,
                     gap_extend=gap_extend,
-                    block_b=min(block_b, ref.shape[0]))
+                    block_b=min(block_b, ref.shape[0]),
+                    dir_format="packed")
+                words = out["dir_words"]
             else:
                 out = align_tiles_jax(ref, query, rlen, qlen, match=match,
                                       mismatch=mismatch, gap_open=gap_open,
                                       gap_extend=gap_extend)
-            ops, _mb, i_steps, j_steps = traceback_jax(
-                out["dir"], rlen, qlen, first, out["max_i"],
+                words = pack_dir_words(out["dir"])
+            ops, _mb, i_steps, j_steps = traceback_packed_jax(
+                words, rlen, qlen, first, out["max_i"],
                 out["max_j"], early_terminate=early_terminate)
             score = jax.numpy.where(first, out["max_score"],
                                     out["pos_score"])

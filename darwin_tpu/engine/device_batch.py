@@ -43,7 +43,8 @@ from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
 from darwin_tpu.ops.tile_fetch import (ROW, build_combined_bank_device,
                                        fetch_tiles)
-from darwin_tpu.ops.traceback import traceback_jax
+from darwin_tpu.ops.traceback import (pack_dir_words,
+                                      traceback_packed_jax)
 
 I32 = jnp.int32
 
@@ -76,11 +77,14 @@ def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
               gap_open=st.gap_open, gap_extend=st.gap_extend)
     if st.backend == "pallas":
         out = align_tiles_pallas(ref_t, query_t, rlen, qlen,
-                                 block_b=min(st.block_b, st.B), **kw)
+                                 block_b=min(st.block_b, st.B),
+                                 dir_format="packed", **kw)
+        words = out["dir_words"]
     else:
         out = align_tiles_jax(ref_t, query_t, rlen, qlen, **kw)
-    ops, mbits, i_steps, j_steps = traceback_jax(
-        out["dir"], rlen, qlen, first_b, out["max_i"], out["max_j"],
+        words = pack_dir_words(out["dir"])
+    ops, mbits, i_steps, j_steps = traceback_packed_jax(
+        words, rlen, qlen, first_b, out["max_i"], out["max_j"],
         early_terminate=st.ET)
     score = jnp.where(first_b, out["max_score"], out["pos_score"])
     return (ops.T, mbits.T, i_steps, j_steps, score, out["max_i"],

@@ -69,7 +69,10 @@ def parse_fasta(path: str | Path, *, native: bool | None = None
     records: list[FastaRecord] = []
     fields: list[str] | None = None
     chunks: list[str] = []
-    with open(path) as f:
+    # newline='\n': split on LF only, like the native loader and the
+    # reference's getline (fasta.cpp:53) — a classic-Mac CR-only file
+    # must parse identically on every path.
+    with open(path, newline="\n") as f:
         for line in f:
             line = line.rstrip("\n").rstrip("\r")
             if not line:
@@ -94,7 +97,7 @@ def iter_fasta(path: str | Path):
     bounds memory for read sets larger than RAM."""
     fields: list[str] | None = None
     chunks: list[str] = []
-    with open(path) as f:
+    with open(path, newline="\n") as f:
         for line in f:
             line = line.rstrip("\n").rstrip("\r")
             if not line:
@@ -116,7 +119,7 @@ def iter_fasta(path: str | Path):
 def check_reference_wrap(path: str | Path) -> bool:
     """True iff the file obeys the reference's 70-char wrap rule."""
     last_len = SEQLINE_WRAP_LEN
-    with open(path) as f:
+    with open(path, newline="\n") as f:
         for line in f:
             line = line.rstrip("\n").rstrip("\r")
             if not line:

@@ -225,12 +225,11 @@ void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w,
             const int64_t c = cps[i];
             const int64_t next_c = cps[i + 1];
             // First emission of the run: the change point itself, or
-            // for the virtual run the first multiple of w >= lo.
-            int64_t p0 = c;
-            if (i == 0) {
-              p0 = ((lo + w - 1) / w) * w;
-              if (p0 < lo) p0 += w;
-            }
+            // for the virtual run (min == 0 since the start) position w
+            // exactly: the sequential scan's last_p starts at 0, so its
+            // first zero-hash emission is at p - 0 >= w.  (Not p=0 even
+            // when w == 1 and hash(seed at 0) == 0.)
+            int64_t p0 = (i == 0) ? w : c;
             for (int64_t p = p0; p < next_c; p += w) {
               if (p < lo) continue;
               out.push_back((static_cast<uint64_t>(win_min(p)) << 32) |

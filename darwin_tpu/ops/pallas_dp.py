@@ -60,12 +60,15 @@ def _score_dtype(T: int, match: int, mismatch: int, gap_open: int,
 
 
 def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
-                 gap_open: int, gap_extend: int, sdt, neg_inf: int):
+                 gap_open: int, gap_extend: int, sdt, neg_inf: int,
+                 packed: bool):
     n_row_blocks = T // ROWS_PER_STEP
 
     def kernel(refT_ref, query_ref, rlen_ref, qlen_ref,    # inputs
                dir_ref, stats_ref,                          # outputs
-               m_s, i_s, qs_s, bh_s, bi_s, ph_s, p3_s):        # scratch
+               m_s, i_s, qs_s, bh_s, bi_s, ph_s, p3_s,
+               *maybe_tp):                                  # scratch
+        tp_s = maybe_tp[0] if packed else None
         ib = pl.program_id(1)  # row block: DP rows ib*8+1 .. ib*8+8
         BB = m_s.shape[0]
         # 16-bit iota is unsupported in hardware; generate 32-bit, cast.
@@ -81,6 +84,10 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             head = jnp.full((x.shape[0], s), fill, sdt)
             return jnp.concatenate([head, x[:, :-s]], axis=1)
 
+        def shift_left(x):
+            tail = jnp.zeros((x.shape[0], 1), x.dtype)
+            return jnp.concatenate([x[:, 1:], tail], axis=1)
+
         @pl.when(ib == 0)
         def _init():
             m_s[:] = jnp.zeros((BB, TJP), sdt)
@@ -93,6 +100,8 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             ph_s[:] = jnp.zeros((BB, TJP), sdt)
             # max(m, i, d) of DP row 0 = max(0, -inf, -inf) = 0.
             p3_s[:] = jnp.zeros((BB, TJP), sdt)
+            if packed:
+                tp_s[:] = jnp.zeros((BB, TJP), jnp.int32)
 
         rlen = rlen_ref[:].astype(sdt)      # [BB, 1]
         qlen = qlen_ref[:].astype(sdt)
@@ -106,6 +115,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         m_prev, i_prev = m_s[:], i_s[:]
         best_h, best_i, pos_h = bh_s[:], bi_s[:], ph_s[:]
         prev3 = p3_s[:]  # max(m, i, d) of the previous row, carried
+        t_prev = tp_s[:] if packed else None  # prior row's low half-word
 
         # Lane-derived constants, loop-invariant across the 8 rows.
         u_base = c(gap_open) - lane * c(gap_extend)
@@ -169,8 +179,17 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 
             rvalid = ip1 <= rlen
             valid = jvalid & rvalid
-            dir_ref[:, r, :] = jnp.where(valid, op, c(0)).astype(
-                jnp.uint8)
+            opb = jnp.where(valid, op, c(0))
+            if packed:
+                # Traceback word: this cell, its right-lane neighbour,
+                # and the same pair from the row above — one int32
+                # gather then yields the walker's current cell plus all
+                # three move targets (see traceback_packed_jax).
+                t = (opb + (shift_left(opb) << 8)).astype(jnp.int32)
+                dir_ref[:, r, :] = t + (t_prev << 16)
+                t_prev = t
+            else:
+                dir_ref[:, r, :] = opb.astype(jnp.uint8)
 
             # Deferred max tracking: per-lane last row attaining the
             # column max (>= update = last wins, matching row-major).
@@ -188,6 +207,8 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         bi_s[:] = best_i
         ph_s[:] = pos_h
         p3_s[:] = prev3
+        if packed:
+            tp_s[:] = t_prev
 
         @pl.when(ib == n_row_blocks - 1)
         def _finalize():
@@ -217,23 +238,29 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 @functools.partial(
     jax.jit,
     static_argnames=("match", "mismatch", "gap_open", "gap_extend",
-                     "block_b", "interpret"))
+                     "block_b", "interpret", "dir_format"))
 def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
                        ref_len: jnp.ndarray, query_len: jnp.ndarray,
                        *, match: int, mismatch: int, gap_open: int,
                        gap_extend: int, block_b: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       dir_format: str = "bytes"):
     """Same contract as align_tiles_jax; B must divide by block_b and
     T by 8 (the engine's tile geometry guarantees both).
 
     ref/query: [B, T] uint8 (padded with PAD_REF/PAD_QUERY).
     Returns dict(dir=[B, T, TJP] uint8, max_score, max_i, max_j,
-    pos_score: [B] int32).
+    pos_score: [B] int32).  With dir_format="packed", `dir` is replaced
+    by `dir_words`: [B, T, TJP] int32 traceback words (each cell packed
+    with its right / up / up-right neighbours; consumed by
+    traceback_packed_jax, which advances two steps per gather).
     """
     B, T = ref.shape
     BB = min(block_b, B)
     assert B % BB == 0, (B, BB)
     assert T % ROWS_PER_STEP == 0, T
+    assert dir_format in ("bytes", "packed"), dir_format
+    packed = dir_format == "packed"
     TJP = _round_up(T + 1, 128)
     sdt_np, neg_inf = _score_dtype(T, match, mismatch, gap_open,
                                    gap_extend)
@@ -246,7 +273,18 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
 
     grid = (B // BB, T // ROWS_PER_STEP)
     kernel = _make_kernel(T, TJP, match, mismatch, gap_open, gap_extend,
-                          sdt_np, neg_inf)
+                          sdt_np, neg_inf, packed)
+    scratch = [
+        pltpu.VMEM((BB, TJP), sdt_np),  # m
+        pltpu.VMEM((BB, TJP), sdt_np),  # i
+        pltpu.VMEM((BB, TJP), sdt_np),  # shifted query
+        pltpu.VMEM((BB, TJP), sdt_np),  # best_h
+        pltpu.VMEM((BB, TJP), sdt_np),  # best_i
+        pltpu.VMEM((BB, TJP), sdt_np),  # pos_h
+        pltpu.VMEM((BB, TJP), sdt_np),  # prev3 = max(m, i, d)
+    ]
+    if packed:
+        scratch.append(pltpu.VMEM((BB, TJP), jnp.int32))  # prior row
     dirm, stats = pl.pallas_call(
         kernel,
         grid=grid,
@@ -268,18 +306,11 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, TJP), jnp.uint8),
+            jax.ShapeDtypeStruct((B, T, TJP),
+                                 jnp.int32 if packed else jnp.uint8),
             jax.ShapeDtypeStruct((B, 4), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((BB, TJP), sdt_np),  # m
-            pltpu.VMEM((BB, TJP), sdt_np),  # i
-            pltpu.VMEM((BB, TJP), sdt_np),  # shifted query
-            pltpu.VMEM((BB, TJP), sdt_np),  # best_h
-            pltpu.VMEM((BB, TJP), sdt_np),  # best_i
-            pltpu.VMEM((BB, TJP), sdt_np),  # pos_h
-            pltpu.VMEM((BB, TJP), sdt_np),  # prev3 = max(m, i, d)
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # The unrolled 8-row body keeps several [BB, TJP]
             # temporaries live; allow Mosaic more scoped VMEM than the
@@ -289,5 +320,7 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
         interpret=interpret,
     )(refT, queryp, rlen, qlen)
 
-    return dict(dir=dirm, max_score=stats[:, 0], max_i=stats[:, 1],
-                max_j=stats[:, 2], pos_score=stats[:, 3])
+    out = dict(max_score=stats[:, 0], max_i=stats[:, 1],
+               max_j=stats[:, 2], pos_score=stats[:, 3])
+    out["dir_words" if packed else "dir"] = dirm
+    return out

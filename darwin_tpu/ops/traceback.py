@@ -110,3 +110,126 @@ def traceback_jax(dirm: jnp.ndarray, ref_len: jnp.ndarray,
     _, raw, _, _, _, _, i_steps, j_steps = jax.lax.while_loop(
         cond, step, carry)
     return raw & 3, raw >= MATCH_BIT, i_steps, j_steps
+
+
+def pack_dir_words(dirm: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] uint8 dir matrix -> [B, T, C] int32 traceback words.
+
+    words[b, r, c] = D(r,c) | D(r,c+1)<<8 | D(r-1,c)<<16 | D(r-1,c+1)<<24
+    (missing neighbours read 0).  The Pallas kernel emits this layout
+    directly (dir_format="packed"); this helper produces it from the
+    byte matrix for the lax path and for differential tests.
+    """
+    d = dirm.astype(jnp.int32)
+    right = jnp.pad(d[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+    t = d + (right << 8)
+    t_up = jnp.pad(t[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    return t + (t_up << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("early_terminate",))
+def traceback_packed_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
+                         query_len: jnp.ndarray, first: jnp.ndarray,
+                         max_i: jnp.ndarray, max_j: jnp.ndarray,
+                         *, early_terminate: int):
+    """Bit-identical to traceback_jax, two walk steps per iteration.
+
+    One int32 gather at (i-1, j-1) of the packed word matrix (see
+    pack_dir_words) yields the walker's current cell AND all three move
+    targets, so each while_loop iteration — whose cost is dominated by
+    a fixed ~20us loop overhead plus one [B] gather — advances two
+    steps instead of one.  Returns the same (ops, mbits, i_steps,
+    j_steps) as traceback_jax.
+    """
+    B, T, C = words.shape
+    ET = early_terminate
+    S = 2 * ET - 1
+    SP = S + 1  # even slot count: each iteration records a pair
+    dt = jnp.int32
+    flat = words.reshape(B, T * C)
+
+    def gather_word(i, j):
+        idx = (jnp.clip(i - 1, 0, T - 1) * C
+               + jnp.clip(j - 1, 0, C - 1))
+        w = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        return jnp.where((i >= 1) & (j >= 1), w, 0)
+
+    def resolve(pstate, pval, cur_op):
+        # State on entering a cell, from the state/byte of the cell we
+        # left: a MATCH consumes the entered cell's op bits; I/D turn
+        # into MATCH when the left cell carries the gap-open-won flag
+        # (align.cpp:205-226 semantics, as in traceback_jax).
+        return jnp.where(
+            pstate == 3, cur_op & 3,
+            jnp.where(
+                pstate == 2,
+                jnp.where((pval & GAP_OPEN_FLAG_I) != 0, 3, 2),
+                jnp.where(
+                    pstate == 1,
+                    jnp.where((pval & GAP_OPEN_FLAG_D) != 0, 3, 1),
+                    0)))
+
+    i0 = jnp.where(first, max_i, ref_len).astype(dt)
+    j0 = jnp.where(first, max_j, query_len).astype(dt)
+    ops0 = jnp.zeros((SP, B), jnp.uint8)
+    zero = jnp.zeros((B,), dt)
+
+    def cond(carry):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+        pending = (pstate != 0) & (i_steps < ET) & (j_steps < ET)
+        return (s + 1 < SP) & jnp.any(pending)
+
+    def step(carry):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+        w = gather_word(i, j)
+        val = (w >> 8) & 0xFF          # current cell (i, j)
+        state = resolve(pstate, pval, val)
+
+        # Sub-step A: the op taken at (i, j).
+        act_a = (state != 0) & (i_steps < ET) & (j_steps < ET)
+        rec_a = jnp.where(
+            act_a, state + jnp.where(state == 3, val & MATCH_BIT, 0), 0)
+        is_m = state == 3
+        is_i = state == 2
+        di = jnp.where(is_m | is_i, 1, 0)
+        dj = jnp.where(is_m, 1, jnp.where(is_i, 0, 1))
+        i1 = jnp.where(act_a, i - di, i)
+        j1 = jnp.where(act_a, j - dj, j)
+        i_steps1 = i_steps + jnp.where(act_a, di, 0)
+        j_steps1 = j_steps + jnp.where(act_a, dj, 0)
+        # The entered cell's byte, from the same word.
+        v_moved = jnp.where(is_m, (w >> 16) & 0xFF,
+                            jnp.where(is_i, (w >> 24) & 0xFF, w & 0xFF))
+        v_moved = jnp.where((i1 >= 1) & (j1 >= 1), v_moved, 0)
+        val1 = jnp.where(act_a, v_moved, val)
+        state1 = jnp.where(act_a, resolve(state, val, v_moved), state)
+
+        # Sub-step B: the op taken at (i1, j1).
+        act_b = (state1 != 0) & (i_steps1 < ET) & (j_steps1 < ET)
+        rec_b = jnp.where(
+            act_b,
+            state1 + jnp.where(state1 == 3, val1 & MATCH_BIT, 0), 0)
+        is_m1 = state1 == 3
+        is_i1 = state1 == 2
+        di1 = jnp.where(is_m1 | is_i1, 1, 0)
+        dj1 = jnp.where(is_m1, 1, jnp.where(is_i1, 0, 1))
+        i2 = jnp.where(act_b, i1 - di1, i1)
+        j2 = jnp.where(act_b, j1 - dj1, j1)
+        i_steps2 = i_steps1 + jnp.where(act_b, di1, 0)
+        j_steps2 = j_steps1 + jnp.where(act_b, dj1, 0)
+
+        pair = jnp.stack([rec_a, rec_b]).astype(jnp.uint8)
+        ops = jax.lax.dynamic_update_slice(ops, pair, (s, zero[0]))
+        # Next iteration resolves the state at (i2, j2) from the
+        # state/byte at (i1, j1); act_b=False lanes carry state1 whose
+        # re-resolution is never observed (their act_a stays False).
+        return (s + 2, ops, state1, val1, i2, j2, i_steps2, j_steps2)
+
+    # pstate=MATCH, pval=0 makes the first resolve() yield the start
+    # cell's own op bits, exactly traceback_jax's state0 = val0 % 4.
+    carry = (jnp.int32(0), ops0, jnp.full((B,), 3, dt), zero,
+             i0, j0, zero, zero)
+    _, raw, _, _, _, _, i_steps, j_steps = jax.lax.while_loop(
+        cond, step, carry)
+    raw = raw[:S]
+    return raw & 3, raw >= MATCH_BIT, i_steps, j_steps

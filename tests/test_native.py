@@ -183,3 +183,25 @@ def test_build_table_keys_parallel_scan_matches_numpy():
     keys = native.build_table_keys(const, 12, 4, num_threads=5)
     expect = np.sort(ref_minimizers(const, 12, 4))
     np.testing.assert_array_equal(keys, expect)
+
+
+def test_build_table_parallel_scan_w1_zero_hash_prefix():
+    """w=1 + a zero-hash seed at position 0: the sequential rule never
+    emits at p=0 (last_p=0, needs p-last_p >= w), so the parallel scan's
+    virtual run must start at p=w, not 0."""
+    from darwin_tpu.coding.ntcoding import hash32
+
+    k = 5
+    mask = (1 << (2 * k)) - 1
+    hashes = hash32(np.arange(mask + 1, dtype=np.uint32), k)
+    zero_kmer = int(np.flatnonzero(hashes == 0)[0])
+    # 2-bit decode, low bits first (GetSeedAtPos convention).
+    prefix = np.array([ord("ACGT"[(zero_kmer >> (2 * i)) & 3])
+                       for i in range(k)], np.uint8)
+    rng = np.random.default_rng(99)
+    body = random_seq(rng, 100_000, n_frac=0.0)
+    seq = np.concatenate([prefix, body])
+    for w in (1, 2):
+        keys = native.build_table_keys(seq, k, w, num_threads=6)
+        expect = np.sort(ref_minimizers(seq, k, w))
+        np.testing.assert_array_equal(keys, expect, err_msg=f"w={w}")

@@ -45,6 +45,28 @@ def test_pallas_tpu_matches_jax():
     _compare(256, 320, 3, 128, interpret=False)
 
 
+@pytest.mark.parametrize("B,T,seed,block_b", [(8, 24, 0, 8),
+                                              (16, 40, 4, 8)])
+def test_pallas_interpret_packed_words(B, T, seed, block_b):
+    """dir_format='packed' must emit exactly pack_dir_words(dir)."""
+    from darwin_tpu.ops.traceback import pack_dir_words
+
+    rng = np.random.default_rng(seed)
+    ref, query, rlen, qlen = make_batch(rng, B, T)
+    kw = dict(match=MATCH, mismatch=MISMATCH, gap_open=GO, gap_extend=GE,
+              block_b=block_b, interpret=True)
+    bytes_out = align_tiles_pallas(ref, query, rlen, qlen, **kw)
+    packed_out = align_tiles_pallas(ref, query, rlen, qlen,
+                                    dir_format="packed", **kw)
+    want = np.asarray(pack_dir_words(bytes_out["dir"]))
+    np.testing.assert_array_equal(np.asarray(packed_out["dir_words"]),
+                                  want)
+    for k in ("max_score", "max_i", "max_j", "pos_score"):
+        np.testing.assert_array_equal(np.asarray(packed_out[k]),
+                                      np.asarray(bytes_out[k]),
+                                      err_msg=k)
+
+
 @pytest.mark.parametrize("sc", [(2, -3, -4, -2), (5, -4, -8, -6),
                                 (3, -1, -2, -1)])
 def test_pallas_matches_jax_nondefault_scoring(sc):
