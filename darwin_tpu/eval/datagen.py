@@ -51,6 +51,49 @@ def _mutate(seq: np.ndarray, rate: float, rng: np.random.Generator
     return np.concatenate(out)
 
 
+def overlap_pairs(num_reads: int, read_len: int, min_overlap: int,
+                  max_overlap: int, rng: np.random.Generator
+                  ) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """Read pairs with an exact controlled overlap
+    (generateperfect.py:12-44): pair i shares a random overlap of
+    length in [min_overlap, max_overlap]; names encode a virtual genome
+    position ``G<i>_<genpos>_<len>`` with pairs spaced 2*read_len apart
+    so ground-truth overlap recovery works coordinate-wise.
+
+    Returns (reference_records, read_records) as (name, seq) lists.
+    """
+    refs: list[tuple[str, str]] = []
+    reads: list[tuple[str, str]] = []
+    for i in range(num_reads):
+        ov = int(rng.integers(min_overlap, max_overlap + 1))
+        head = synth_genome(read_len - ov, rng)
+        overlap = synth_genome(ov, rng)
+        tail = synth_genome(read_len - ov, rng)
+        read1 = head + overlap
+        read2 = overlap + tail
+        gen_pos = i * 2 * read_len
+        refs.append((f"G{i}_{gen_pos}_{len(read1)}", read1))
+        reads.append((f"G{i}_{gen_pos + read_len - ov}_{len(read2)}",
+                      read2))
+    return refs, reads
+
+
+def two_readsets(genome: str, num_reads: int, read_len: int,
+                 rng: np.random.Generator, error_rate: float = 0.0,
+                 rc_fraction: float = 0.0
+                 ) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """Two independent read sets sampled from one genome for de-novo
+    two-file alignment (generateperfect.py:75-106); names are the
+    origin-encoding ``R<i>_<start>_<len>[_c]`` convention so both the
+    sensitivity and score evaluators can recover ground truth.
+    """
+    a = sample_reads(genome, num_reads, read_len, rng,
+                     error_rate=error_rate, rc_fraction=rc_fraction)
+    b = sample_reads(genome, num_reads, read_len, rng,
+                     error_rate=error_rate, rc_fraction=rc_fraction)
+    return a, b
+
+
 def sample_reads(genome: str, num_reads: int, read_len: int,
                  rng: np.random.Generator, error_rate: float = 0.0,
                  rc_fraction: float = 0.0) -> list[tuple[str, str]]:

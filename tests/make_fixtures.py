@@ -115,6 +115,42 @@ def gen_fixture(name: str, darwin: str | None) -> None:
         print(f"{name}: inputs written (no reference binary given)")
 
 
+def gen_twofile(darwin: str | None) -> None:
+    """Two-file de-novo fixture (ref != reads, same_file=False, at a
+    scale beyond the small 'guided' fixture): two independent noisy
+    read sets from one genome (generateperfect.py:75-106 mode), run as
+    `darwin set1.fasta set2.fasta`."""
+    from darwin_tpu.eval.datagen import two_readsets
+
+    d = DATA / "twofile"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(77)
+    genome = synth_genome(150_000, rng)
+    set1, set2 = two_readsets(genome, 20, 8_000, rng, error_rate=0.08,
+                              rc_fraction=0.4)
+    write_fasta(d / "ref.fasta", set1)
+    write_fasta(d / "reads.fasta", set2)
+    params = PARAMS_TEMPLATE.format(tile_size=320, tile_overlap=120)
+    (d / "params.cfg").write_text(params)
+    if not darwin:
+        print("twofile: inputs written (no reference binary given)")
+        return
+    with tempfile.TemporaryDirectory() as td:
+        tdp = Path(td)
+        shutil.copy(d / "ref.fasta", tdp / "ref.fasta")
+        shutil.copy(d / "reads.fasta", tdp / "reads.fasta")
+        (tdp / "params.cfg").write_text(params)
+        shutil.copy(darwin, tdp / "darwin")
+        subprocess.run(["./darwin", "ref.fasta", "reads.fasta", "2"],
+                       cwd=td, check=True, capture_output=True)
+        lines: set[str] = set()
+        for f in tdp.glob("darwin.*.out"):
+            lines.update(f.read_text().splitlines())
+        (d / "out.darwin").write_text(
+            "\n".join(sorted(lines)) + ("\n" if lines else ""))
+        print(f"twofile: {len(lines)} golden records")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--darwin", default=None,
@@ -125,6 +161,8 @@ def main() -> None:
         if args.only and name != args.only:
             continue
         gen_fixture(name, args.darwin)
+    if not args.only or args.only == "twofile":
+        gen_twofile(args.darwin)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,25 @@ def test_pipeline_guided_mode_matches_reference(data_dir, batch):
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
 
 
+@pytest.mark.parametrize("batch", [128])
+@pytest.mark.slow
+def test_pipeline_twofile_denovo_matches_reference(data_dir, batch):
+    """Two-file de-novo mode at scale (ref != reads, same_file=False):
+    two independent noisy read sets from one genome (the reference
+    generateperfect.py:75-106 dataset shape), 20x8 kb vs 20x8 kb with
+    reverse-complements, default params."""
+    d = data_dir / "twofile"
+    params = Params.from_cfg(d / "params.cfg")
+    ref = parse_fasta(d / "ref.fasta")
+    reads = parse_fasta(d / "reads.fasta")
+    result = run_pipeline(ref, reads, params, same_file=False,
+                          batch_size=batch)
+    want = set((d / "out.darwin").read_text().splitlines())
+    got = set(result.records)
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}")
+
+
 @pytest.mark.slow
 def test_pipeline_nondefault_scoring_matches_reference(data_dir):
     """match=2 mismatch=-3 gap_open=-4 gap_extend=-2: different op/flag
