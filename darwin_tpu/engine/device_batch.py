@@ -495,12 +495,47 @@ class DeviceGactEngine:
         return out
 
 
+def balance_calls(costs: np.ndarray, nd: int) -> list[np.ndarray]:
+    """Cost-aware call assignment: greedy LPT (longest job first onto
+    the least-loaded device) with per-device counts capped at
+    ceil(N/nd), so the shard_map's fixed per-device capacity stays
+    minimal while one device never collects all the long-extension
+    calls.  Returns nd index arrays (a partition of arange(len(costs))).
+    """
+    import heapq
+
+    n = len(costs)
+    cap = -(-n // nd) if n else 0
+    order = np.argsort(-np.asarray(costs), kind="stable")
+    heap = [(0, d) for d in range(nd)]
+    heapq.heapify(heap)
+    out: list[list[int]] = [[] for _ in range(nd)]
+    spill: list[tuple[int, int]] = []
+    for idx in order:
+        while True:
+            load, d = heapq.heappop(heap)
+            if len(out[d]) < cap:
+                break
+            spill.append((load, d))
+        out[d].append(int(idx))
+        heapq.heappush(heap, (load + int(costs[idx]), d))
+        for it in spill:
+            heapq.heappush(heap, it)
+        spill.clear()
+    return [np.asarray(x, dtype=np.int64) for x in out]
+
+
 class ShardedGactEngine(DeviceGactEngine):
     """Mesh-sharded whole-batch engine: call shards run independent
     slot pools on every local device (shard_map; banks replicated, no
     cross-device traffic — each device's while_loop trips its own
     count).  The single-process multi-chip rung between the one-chip
     engine and per-host process parallelism (parallel/distributed.py).
+
+    Calls are distributed cost-aware (balance_calls with the query
+    span as the tile-count estimate), not as contiguous blocks: the
+    dispatch returns when the slowest device finishes, so skewed read
+    lengths would otherwise stall the whole step on one device.
     """
 
     def __init__(self, *args, mesh, **kwargs):
@@ -541,21 +576,31 @@ class ShardedGactEngine(DeviceGactEngine):
                 + (spec_c,) * 9,
                 out_specs=(spec_c, spec_c), check_vma=False))
 
-        def pad(x, fill=0):
-            out = np.full(nd * Ncap, fill, np.int32)
-            out[:N] = x.astype(np.int32)
-            return out
-
-        # Contiguous call blocks per device; per-device counts.
-        n_local = np.zeros(nd, dtype=np.int32)
-        for d in range(nd):
-            n_local[d] = max(0, min(Ncap, N - d * Ncap))
         rid = calls.ref_id.astype(np.int64)
         qid = calls.query_id.astype(np.int64)
         bid = qid if bank_ids is None else np.asarray(bank_ids,
                                                      dtype=np.int64)
         comp = np.broadcast_to(
             np.asarray(complement, dtype=np.int32), (N,))
+
+        # Cost-aware placement: a call's tile count is bounded by its
+        # query span, so query length is the load estimate.
+        assign = balance_calls(
+            self.queries.lengths[bid].astype(np.int64), nd)
+        perm = np.concatenate(assign)
+        slot_of = np.full(nd * Ncap, N, np.int64)  # N = pad row
+        pos = 0
+        n_local = np.zeros(nd, dtype=np.int32)
+        for d, idxs in enumerate(assign):
+            slot_of[d * Ncap: d * Ncap + len(idxs)] = perm[
+                pos: pos + len(idxs)]
+            n_local[d] = len(idxs)
+            pos += len(idxs)
+
+        def pad(x, fill=0):
+            src = np.concatenate(
+                [x.astype(np.int32), np.full(1, fill, np.int32)])
+            return src[np.minimum(slot_of, len(x))].astype(np.int32)
         records_d, nrec_d = fn(
             n_local, self._gconcat, self._qflat,
             pad(rid), pad(qid), pad(comp),

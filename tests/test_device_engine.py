@@ -81,3 +81,98 @@ def test_sharded_gact_engine_matches_single_device(data_dir):
                        r.score, r.comp) for r in rs)
     assert key(recs1) == key(recs2)
     assert len(recs1) > 0
+
+
+def test_balance_calls_skewed_loads():
+    """LPT assignment: skewed costs must spread within ~20% across
+    devices while per-device counts stay at ceil(N/nd)."""
+    import numpy as np
+
+    from darwin_tpu.engine.device_batch import balance_calls
+
+    rng = np.random.default_rng(0)
+    # Pathological: first quarter of the calls are 20x as expensive.
+    costs = np.concatenate([np.full(16, 8000), np.full(48, 400)])
+    rng.shuffle(costs)
+    parts = balance_calls(costs, 8)
+    # Partition sanity.
+    got = np.sort(np.concatenate(parts))
+    np.testing.assert_array_equal(got, np.arange(64))
+    counts = [len(p) for p in parts]
+    assert max(counts) == 8  # ceil(64/8): count cap respected
+    loads = np.array([costs[p].sum() for p in parts])
+    assert loads.max() <= 1.2 * loads.mean(), loads
+    # The contiguous-block split this replaces would have been 5.7x
+    # imbalanced on the unshuffled ordering.
+
+
+def test_sharded_engine_skewed_read_lengths(data_dir):
+    """Record parity sharded vs single-device on a workload with
+    strongly skewed read lengths (long reads first, so the old
+    contiguous split would pile every long call on device 0)."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from darwin_tpu.coding import seq_to_bytes
+    from darwin_tpu.engine.batch import GactCalls
+    from darwin_tpu.engine.device_batch import (DeviceGactEngine,
+                                                ShardedGactEngine,
+                                                balance_calls)
+    from darwin_tpu.engine.seqbank import SeqBank
+    from darwin_tpu.eval.datagen import sample_reads, synth_genome
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.io.fasta import FastaRecord, revcomp
+    from darwin_tpu.parallel.mesh import make_mesh
+    from darwin_tpu.pipeline import collect_calls
+
+    rng = np.random.default_rng(123)
+    genome_s = synth_genome(60_000, rng)
+    long_reads = sample_reads(genome_s, 6, 6_000, rng, error_rate=0.05,
+                              rc_fraction=0.3)
+    short_reads = sample_reads(genome_s, 18, 700, rng, error_rate=0.05,
+                               rc_fraction=0.3)
+    reads = [FastaRecord([n], s) for n, s in long_reads + short_reads]
+
+    params = Params(seed_size=12, tile_size=64, tile_overlap=24,
+                    threshold=12, bin_size=32)
+    genome = Genome(reads, params.bin_size)
+    table = SeedTable.build(genome.concat, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    fwd = SeqBank([seq_to_bytes(r.seq) for r in reads])
+    rev = SeqBank([seq_to_bytes(revcomp(r.seq)) for r in reads])
+    merged = SeqBank.concat(fwd, rev)
+    calls_m = collect_calls(table, genome, merged, params)
+    R = len(reads)
+    comp = (calls_m.query_id >= R).astype(np.int32)
+    bank_ids = calls_m.query_id
+    calls = GactCalls(calls_m.ref_id, calls_m.query_id % R,
+                      calls_m.ref_pos, calls_m.query_pos)
+    assert len(calls) >= 16
+
+    # The cost-aware split must beat 20% spread on this skew.
+    loads = np.array([merged.lengths[bank_ids][p].sum() for p in
+                      balance_calls(merged.lengths[bank_ids], 8)])
+    assert loads.max() <= 1.2 * max(1, loads.mean())
+
+    kw = dict(tile_size=params.tile_size,
+              early_terminate=params.early_terminate,
+              first_tile_score_threshold=(
+                  params.first_tile_score_threshold),
+              match=params.match, mismatch=params.mismatch,
+              gap_open=params.gap_open, gap_extend=params.gap_extend,
+              same_file=True, batch_size=32)
+    single = DeviceGactEngine(genome, merged, **kw)
+    recs1 = single.finish(single.run_async(calls, comp, bank_ids))
+    sharded = ShardedGactEngine(genome, merged,
+                                mesh=make_mesh(8), **kw)
+    recs2 = sharded.finish(sharded.run_async(calls, comp, bank_ids))
+
+    def key(rs):
+        return sorted((r.ref_id, r.query_id, r.ab, r.ae, r.bb, r.be,
+                       r.score, r.comp) for r in rs)
+    assert key(recs1) == key(recs2)
+    assert len(recs1) > 0
