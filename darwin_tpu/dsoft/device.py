@@ -95,15 +95,24 @@ def _query_minimizers_fixed(codes, qlen, k: int, w: int, LP: int):
     return emit, pos, m
 
 
-def _dsoft_one(codes, qlen, table_hashes, table_pos, *, k: int, w: int,
+def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
                bin_size: int, kmer_max_occ: int, num_seeds_cap: int,
                threshold: int, max_candidates: int, LP: int,
-               tup_max: int, cand_max: int):
+               tup_max: int, cand_max: int, index: str):
     """D-SOFT for one read; all shapes fixed, masked."""
     emit, pos, mhash = _query_minimizers_fixed(codes, qlen, k, w, LP)
 
-    start = jnp.searchsorted(table_hashes, mhash, side="left")
-    end = jnp.searchsorted(table_hashes, mhash, side="right")
+    if index == "dense":
+        # Direct CSR lookup (the reference's own index_table_ design,
+        # seed_pos_table.cpp:73-94): two gathers per minimizer instead
+        # of two ~23-step binary searches — measured 6.3 s -> ~0.4 s
+        # over 16.8M lanes at E.coli scale.
+        h = mhash.astype(jnp.int32)
+        start = table_lookup[h]
+        end = table_lookup[h + 1]
+    else:
+        start = jnp.searchsorted(table_lookup, mhash, side="left")
+        end = jnp.searchsorted(table_lookup, mhash, side="right")
     occ = (end - start).astype(jnp.int32)
 
     passing = emit & (occ <= kmer_max_occ)
@@ -117,11 +126,18 @@ def _dsoft_one(codes, qlen, table_hashes, table_pos, *, k: int, w: int,
     total = cum[-1]
     overflow = total > tup_max
 
-    # Assign tuple slots to minimizers: slot t belongs to the first
-    # minimizer whose cumulative count exceeds t.
+    # Assign tuple slots to minimizers: slot t belongs to the (unique)
+    # kept minimizer m with cum[m]-counts[m] <= t < cum[m].  Scatter
+    # each contributing minimizer's index at its first slot and
+    # forward-fill — O(LP + tup_max) instead of tup_max binary
+    # searches over cum.
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (tup_max, 1), 0)[:, 0]
-    mz = jnp.searchsorted(cum, t_idx, side="right")
-    mz = jnp.minimum(mz, LP - 1)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (LP, 1), 0)[:, 0]
+    first_slot = jnp.where(counts > 0, cum - counts, tup_max)  # OOB=drop
+    mz = jnp.full((tup_max,), -1, jnp.int32).at[first_slot].set(
+        m_iota, mode="drop")
+    mz = jax.lax.associative_scan(jnp.maximum, mz)
+    mz = jnp.clip(mz, 0, LP - 1)
     within = t_idx - (cum[mz] - counts[mz])
     tup_valid = t_idx < jnp.minimum(total, tup_max)
 
@@ -177,41 +193,65 @@ def _dsoft_one(codes, qlen, table_hashes, table_pos, *, k: int, w: int,
             n, overflow)
 
 
+def dense_hash_index(table_hashes, k: int):
+    """CSR index over the full 4^k hash space: csr[h] = number of
+    table entries with hash < h (so start=csr[h], end=csr[h+1]).
+    Built on device by scatter-add + cumsum — the reference's
+    index_table_ (seed_pos_table.cpp:73-94), ~10 ms at k=14."""
+    n = 1 << (2 * k)
+    counts = jnp.zeros((n + 1,), jnp.int32).at[
+        table_hashes.astype(jnp.int32) + 1].add(1, mode="drop")
+    return jnp.cumsum(counts)
+
+
+def default_index_mode(k: int) -> str:
+    """dense on accelerators up to k=14 (4^k+1 int32 = up to ~1.1 GB
+    of device HBM); binary search elsewhere."""
+    import jax as _jax
+    on_chip = _jax.default_backend() not in ("cpu",)
+    return "dense" if (on_chip and k <= 14) else "searchsorted"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "bin_size", "kmer_max_occ",
                      "num_seeds_cap", "threshold", "max_candidates",
-                     "tup_max", "cand_max"))
+                     "tup_max", "cand_max", "index"))
 def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
                        k: int, w: int, bin_size: int, kmer_max_occ: int,
                        num_seeds_cap: int, threshold: int,
                        max_candidates: int, tup_max: int = 8192,
-                       cand_max: int = 512):
+                       cand_max: int = 512, index: str = "searchsorted"):
     """Batched on-device D-SOFT.
 
     queries: [R, L] uint8 ASCII (zero-padded), qlens: [R] int32.
     Returns (hits[R, cand_max], offsets[R, cand_max], counts[R],
     overflow[R]); hits/offsets are -1 beyond counts.
+    index: "dense" = direct CSR gathers over the 4^k hash space,
+    "searchsorted" = binary search over the sorted hash array.
     """
     R, L = queries.shape
     LP = L + 16  # headroom so k-mer reads past the scan range see zeros
     lut = jnp.asarray(_TWOBIT_LUT)
     codes = lut[queries]
     codes = jnp.pad(codes, ((0, 0), (0, LP - L)))
+    lookup = (dense_hash_index(table_hashes, k) if index == "dense"
+              else table_hashes)
 
     fn = functools.partial(
         _dsoft_one, k=k, w=w, bin_size=bin_size,
         kmer_max_occ=kmer_max_occ, num_seeds_cap=num_seeds_cap,
         threshold=threshold, max_candidates=max_candidates, LP=LP,
-        tup_max=tup_max, cand_max=cand_max)
+        tup_max=tup_max, cand_max=cand_max, index=index)
     return jax.vmap(fn, in_axes=(0, 0, None, None))(
-        codes, qlens.astype(jnp.int32), table_hashes, table_pos)
+        codes, qlens.astype(jnp.int32), lookup, table_pos)
 
 
 def sharded_dsoft_fn(mesh, *, k: int, w: int, bin_size: int,
                      kmer_max_occ: int, num_seeds_cap: int,
                      threshold: int, max_candidates: int,
-                     tup_max: int = 8192, cand_max: int = 512):
+                     tup_max: int = 8192, cand_max: int = 512,
+                     index: str = "searchsorted"):
     """shard_map'd D-SOFT: reads sharded over the mesh's data axis,
     seed table replicated; one dispatch seeds the whole batch."""
     from jax.sharding import PartitionSpec as P
@@ -223,7 +263,7 @@ def sharded_dsoft_fn(mesh, *, k: int, w: int, bin_size: int,
             queries, qlens, th, tp, k=k, w=w, bin_size=bin_size,
             kmer_max_occ=kmer_max_occ, num_seeds_cap=num_seeds_cap,
             threshold=threshold, max_candidates=max_candidates,
-            tup_max=tup_max, cand_max=cand_max)
+            tup_max=tup_max, cand_max=cand_max, index=index)
 
     fn = jax.shard_map(
         local, mesh=mesh,

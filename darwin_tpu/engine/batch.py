@@ -120,76 +120,87 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
                 int(query_bpos[ci]), int(query_pos[ci]),
                 s if compute_score else 0, complement))
 
+    jT = np.arange(T, dtype=np.int64)
+    gmax = len(genome.concat) - 1
+    qmax = len(queries.flat) - 1
+
     while calls_done < N:
         # ---- prepare (gact.cpp:298-410) --------------------------------
-        ref_lens.fill(-1)
-        for t in range(B):
+        # Phase transitions (reverse done -> swap; forward done -> emit
+        # + refill) stay scalar but touch only the few slots whose
+        # phase actually ended this iteration.
+        act0 = np.flatnonzero(assign >= 0)
+        ci0 = assign[act0]
+        rlt0 = g_piece_len[calls.ref_id[ci0]]
+        qlt0 = queries.lengths[calls.query_id[ci0]]
+        rev0 = reverse[ci0]
+        done0 = np.where(
+            rev0,
+            (ref_pos[ci0] <= 0) | (query_pos[ci0] <= 0),
+            (ref_pos[ci0] >= rlt0) | (query_pos[ci0] >= qlt0))
+        for t in act0[done0 | terminate[act0]]:
             ci = int(assign[t])
-            if ci < 0:
-                continue
-            rid = calls.ref_id[ci]
-            rlen_total = g_piece_len[rid]
-            qlen_total = queries.lengths[calls.query_id[ci]]
-
             if reverse[ci]:
-                if ref_pos[ci] <= 0 or query_pos[ci] <= 0 or terminate[t]:
-                    # Reverse phase done: swap begin/current, go forward.
-                    ref_bpos[ci], ref_pos[ci] = ref_pos[ci], ref_bpos[ci]
-                    query_bpos[ci], query_pos[ci] = (query_pos[ci],
-                                                     query_bpos[ci])
+                # Reverse phase done: swap begin/current, go forward.
+                ref_bpos[ci], ref_pos[ci] = ref_pos[ci], ref_bpos[ci]
+                query_bpos[ci], query_pos[ci] = (query_pos[ci],
+                                                 query_bpos[ci])
+                reverse[ci] = False
+                terminate[t] = False
+                prev_gap[ci] = False  # new op stream, open=True
+            else:
+                emit(ci)
+                calls_done += 1
+                if next_callidx >= N:
+                    assign[t] = -1
+                    continue
+                ci = next_callidx
+                next_callidx += 1
+                assign[t] = ci
+                terminate[t] = False
+                if ref_pos[ci] <= 0 or query_pos[ci] <= 0:
                     reverse[ci] = False
-                    terminate[t] = False
-                    prev_gap[ci] = False  # new op stream, open=True
-            else:
-                if ref_pos[ci] >= rlen_total \
-                        or query_pos[ci] >= qlen_total or terminate[t]:
-                    emit(ci)
-                    calls_done += 1
-                    if next_callidx >= N:
-                        assign[t] = -1
-                        continue
-                    ci = next_callidx
-                    next_callidx += 1
-                    assign[t] = ci
-                    terminate[t] = False
-                    rid = calls.ref_id[ci]
-                    rlen_total = g_piece_len[rid]
-                    qlen_total = queries.lengths[calls.query_id[ci]]
-                    if ref_pos[ci] <= 0 or query_pos[ci] <= 0:
-                        reverse[ci] = False
-                        ref_bpos[ci] = ref_pos[ci]
-                        query_bpos[ci] = query_pos[ci]
-
-            firsts_b[t] = first[ci]
-            rev_b[t] = reverse[ci]
-            gs = g_piece_start[rid]
-            if reverse[ci]:
-                rl = min(int(ref_pos[ci]), T)
-                ql = min(int(query_pos[ci]), T)
-                rt = genome.concat[gs + ref_pos[ci] - rl:
-                                   gs + ref_pos[ci]]
-                qt = queries.slice(calls.query_id[ci],
-                                   int(query_pos[ci]) - ql, ql)
-            else:
-                rl = min(T, int(rlen_total - ref_pos[ci]))
-                ql = min(T, int(qlen_total - query_pos[ci]))
-                # Forward tiles are read back-to-front by the reference
-                # kernel (align.cpp:130, reverse=true); we flip at slice
-                # time instead, like the CUDA marshaling
-                # (cuda_host.cu:113-142).
-                rt = genome.concat[gs + ref_pos[ci]:
-                                   gs + ref_pos[ci] + rl][::-1]
-                qt = queries.slice(calls.query_id[ci],
-                                   int(query_pos[ci]), ql)[::-1]
-            ref_lens[t] = rl
-            query_lens[t] = ql
-            ref_tiles[t, :rl] = rt
-            ref_tiles[t, rl:] = PAD_REF
-            query_tiles[t, :ql] = qt
-            query_tiles[t, ql:] = PAD_QUERY
+                    ref_bpos[ci] = ref_pos[ci]
+                    query_bpos[ci] = query_pos[ci]
 
         if calls_done >= N and not (assign >= 0).any():
             break
+
+        # Vectorized tile slicing over active slots: one fancy-index
+        # gather per bank instead of B Python slice/copy pairs.
+        ref_lens.fill(-1)
+        act = np.flatnonzero(assign >= 0)
+        ci_a = assign[act]
+        rid_a = calls.ref_id[ci_a]
+        qid_a = calls.query_id[ci_a]
+        rev_a = reverse[ci_a]
+        rp_a = ref_pos[ci_a]
+        qp_a = query_pos[ci_a]
+        rl_a = np.where(rev_a, np.minimum(rp_a, T),
+                        np.minimum(T, g_piece_len[rid_a] - rp_a))
+        ql_a = np.where(rev_a, np.minimum(qp_a, T),
+                        np.minimum(T, queries.lengths[qid_a] - qp_a))
+        gs_a = g_piece_start[rid_a]
+        qs_a = queries.starts[qid_a]
+        # Reverse tiles read [pos-len, pos) forward; forward tiles are
+        # read back-to-front by the reference kernel (align.cpp:130,
+        # reverse=true) — flipped at slice time like the CUDA
+        # marshaling (cuda_host.cu:113-142).
+        base_r = np.where(rev_a, gs_a + rp_a - rl_a,
+                          gs_a + rp_a + rl_a - 1)
+        base_q = np.where(rev_a, qs_a + qp_a - ql_a,
+                          qs_a + qp_a + ql_a - 1)
+        step = np.where(rev_a, 1, -1)
+        idx_r = base_r[:, None] + step[:, None] * jT
+        idx_q = base_q[:, None] + step[:, None] * jT
+        rt = genome.concat[np.clip(idx_r, 0, gmax)]
+        qt = queries.flat[np.clip(idx_q, 0, qmax)]
+        ref_tiles[act] = np.where(jT < rl_a[:, None], rt, PAD_REF)
+        query_tiles[act] = np.where(jT < ql_a[:, None], qt, PAD_QUERY)
+        ref_lens[act] = rl_a
+        query_lens[act] = ql_a
+        firsts_b[act] = first[ci_a]
+        rev_b[act] = rev_a
 
         # ---- device: DP + traceback ------------------------------------
         active = ref_lens >= 0
@@ -198,33 +209,33 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
                       firsts_b)
 
         # ---- postprocess (gact.cpp:427-550) -----------------------------
-        # Pass 1: first-tile re-anchoring + threshold gate (scalar).
+        # Pass 1: first-tile re-anchoring + threshold gate (vectorized;
+        # every call sits in at most one slot, so scatters by call id
+        # never collide).
         apply_ops = active.copy()
         rp_t = np.zeros(B, dtype=np.int64)
         qp_t = np.zeros(B, dtype=np.int64)
-        for t in range(B):
-            ci = int(assign[t])
-            if ci < 0:
-                apply_ops[t] = False
-                continue
-            rp, qp = ref_pos[ci], query_pos[ci]
-            if first[ci]:
-                if rev_b[t]:
-                    rp = rp - ref_lens[t] + int(res.max_i[t])
-                    qp = qp - query_lens[t] + int(res.max_j[t])
-                    ref_bpos[ci] = rp
-                    query_bpos[ci] = qp
-                else:
-                    rp = rp + ref_lens[t] - int(res.max_i[t])
-                    qp = qp + query_lens[t] - int(res.max_j[t])
-                if int(res.score[t]) < first_tile_score_threshold:
-                    terminate[t] = True
-                    ref_pos[ci] = rp
-                    query_pos[ci] = qp
-                    apply_ops[t] = False
-                    continue
-            rp_t[t] = rp
-            qp_t[t] = qp
+        first_a = first[ci_a]
+        mi_a = res.max_i[act].astype(np.int64)
+        mj_a = res.max_j[act].astype(np.int64)
+        rp1 = np.where(
+            first_a,
+            np.where(rev_a, rp_a - rl_a + mi_a, rp_a + rl_a - mi_a),
+            rp_a)
+        qp1 = np.where(
+            first_a,
+            np.where(rev_a, qp_a - ql_a + mj_a, qp_a + ql_a - mj_a),
+            qp_a)
+        reanchor = first_a & rev_a
+        ref_bpos[ci_a[reanchor]] = rp1[reanchor]
+        query_bpos[ci_a[reanchor]] = qp1[reanchor]
+        gated = first_a & (res.score[act] < first_tile_score_threshold)
+        terminate[act[gated]] = True
+        ref_pos[ci_a[gated]] = rp1[gated]
+        query_pos[ci_a[gated]] = qp1[gated]
+        apply_ops[act[gated]] = False
+        rp_t[act] = np.where(gated, 0, rp1)
+        qp_t[act] = np.where(gated, 0, qp1)
 
         # Pass 2: vectorized scoring of the applied op streams.
         ops = res.ops.copy()
@@ -248,32 +259,27 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
 
         has_ops = (ops != 0).any(axis=1)
 
-        # Pass 3: state updates (scalar scatter; each call sits in at
-        # most one slot).
-        for t in range(B):
-            ci = int(assign[t])
-            if ci < 0 or not apply_ops[t]:
-                continue
-            j_steps = int(res.ref_steps[t])    # ref-axis chars consumed
-            i_steps = int(res.query_steps[t])  # query-axis
-            if compute_score:
-                score[ci] += int(delta[t])
-                prev_gap[ci] = bool(new_pg[t])
-                phase = 0 if rev_b[t] else 1
-                if has_ops[t] and not has_phase_ops[phase, ci]:
-                    has_phase_ops[phase, ci] = True
-                    phase_first_gap[phase, ci] = bool(first_gap[t])
-            elif has_ops[t]:
-                has_phase_ops[0 if rev_b[t] else 1, ci] = True
-            if has_ops[t]:
-                first[ci] = False
-            if rev_b[t]:
-                ref_pos[ci] = rp_t[t] - j_steps
-                query_pos[ci] = qp_t[t] - i_steps
-            else:
-                ref_pos[ci] = rp_t[t] + j_steps
-                query_pos[ci] = qp_t[t] + i_steps
-            if i_steps == 0 or j_steps == 0:
-                terminate[t] = True
+        # Pass 3: state updates (vectorized scatter by call id).
+        upd = np.flatnonzero((assign >= 0) & apply_ops)
+        ci_u = assign[upd]
+        rev_u = rev_b[upd]
+        phase_u = np.where(rev_u, 0, 1)
+        j_steps = res.ref_steps[upd].astype(np.int64)    # ref axis
+        i_steps = res.query_steps[upd].astype(np.int64)  # query axis
+        if compute_score:
+            score[ci_u] += delta[upd].astype(np.int64)
+            prev_gap[ci_u] = new_pg[upd]
+            fresh = has_ops[upd] & ~has_phase_ops[phase_u, ci_u]
+            phase_first_gap[phase_u[fresh], ci_u[fresh]] = \
+                first_gap[upd][fresh]
+            has_phase_ops[phase_u[fresh], ci_u[fresh]] = True
+        else:
+            ho = has_ops[upd]
+            has_phase_ops[phase_u[ho], ci_u[ho]] = True
+        first[ci_u[has_ops[upd]]] = False
+        sgn = np.where(rev_u, -1, 1)
+        ref_pos[ci_u] = rp_t[upd] + sgn * j_steps
+        query_pos[ci_u] = qp_t[upd] + sgn * i_steps
+        terminate[upd[(i_steps == 0) | (j_steps == 0)]] = True
 
     return records

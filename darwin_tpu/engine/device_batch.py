@@ -138,7 +138,8 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
         return arr.at[jnp.where(mask, idx, DUMP)].set(val)
 
     def engine(n_calls, gconcat, qflat,
-               rid, qid, comp, g_start, g_len, q_start, q_len,
+               rid, qid, comp, g_row, g_rem, grv_row, grv_rem, g_len,
+               q_row, q_rem, qrv_row, qrv_rem, q_len,
                rpos0, qpos0):
         # Call state (index Ncap = dump lane).
         def padded(x, fill=0):
@@ -161,9 +162,16 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
         ridp = padded(rid)
         qidp = padded(qid)
         compp = padded(comp)
-        gsp = padded(g_start)
+        # Bank offsets arrive split as (row, byte-in-row) pairs so all
+        # device arithmetic stays int32 even for banks beyond 2^31
+        # bytes (rows cap at bytes/ROW; per-piece/per-read coordinates
+        # are < 2^31 by validation).  grv/qrv are the reverse-copy
+        # bases 2*GP - start, pre-split on host.
+        grwp, grmp = padded(g_row), padded(g_rem)
+        gvwp, gvmp = padded(grv_row), padded(grv_rem)
         glp = padded(g_len)
-        qsp = padded(q_start)
+        qrwp, qrmp = padded(q_row), padded(q_rem)
+        qvwp, qvmp = padded(qrv_row), padded(qrv_rem)
         qlp = padded(q_len)
 
         slot_iota = jnp.arange(B, dtype=I32)
@@ -265,22 +273,31 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 # Both orientations are contiguous spans of the
                 # combined (forward + reversed) banks; one Pallas
                 # span-fetch each replaces the ~11 ns/element XLA
-                # gathers (ops/tile_fetch.py).
-                eff_r = jnp.where(
-                    rev2, gsp[ci2] + p_r - rl,
-                    2 * GP_G - (gsp[ci2] + p_r) - rl)
-                eff_q = jnp.where(
-                    rev2, qsp[ci2] + p_q - ql,
-                    2 * GP_Q - (qsp[ci2] + p_q) - ql)
-                ref_f = fetch_tiles(eff_r, gconcat, T=T,
+                # gathers (ops/tile_fetch.py).  Span starts are built
+                # in split (row, rem) form: base row carries the >2^31
+                # part, the in-piece remainder is int32; jnp // and %
+                # floor, so negative rev-copy remainders stay exact.
+                s_r = jnp.where(rev2, grmp[ci2] + p_r - rl,
+                                gvmp[ci2] - p_r - rl)
+                row_r = (jnp.where(rev2, grwp[ci2], gvwp[ci2])
+                         + s_r // ROW)
+                s_q = jnp.where(rev2, qrmp[ci2] + p_q - ql,
+                                qvmp[ci2] - p_q - ql)
+                row_q = (jnp.where(rev2, qrwp[ci2], qvwp[ci2])
+                         + s_q // ROW)
+                ref_f = fetch_tiles(row_r, s_r % ROW, gconcat, T=T,
                                     n_rows=gconcat.shape[0])
-                query_f = fetch_tiles(eff_q, qflat, T=T,
+                query_f = fetch_tiles(row_q, s_q % ROW, qflat, T=T,
                                       n_rows=qflat.shape[0])
                 ref_t = jnp.where(k < rl[:, None], ref_f[:, :T],
                                   jnp.uint8(PAD_REF))
                 query_t = jnp.where(k < ql[:, None], query_f[:, :T],
                                     jnp.uint8(PAD_QUERY))
             else:
+                # Portable gather path (banks < 2^31, validated at
+                # engine construction): reconstruct absolute offsets.
+                gsp2 = grwp[ci2] * ROW + grmp[ci2]
+                qsp2 = qrwp[ci2] * ROW + qrmp[ci2]
                 ridx = jnp.where(rev2[:, None],
                                  (p_r - rl)[:, None] + k,
                                  (p_r + rl)[:, None] - 1 - k)
@@ -290,14 +307,14 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 ref_t = jnp.where(
                     k < rl[:, None],
                     jnp.take(gconcat,
-                             jnp.clip(gsp[ci2][:, None] + ridx, 0,
+                             jnp.clip(gsp2[:, None] + ridx, 0,
                                       gconcat.shape[0] - 1),
                              mode="clip"),
                     jnp.uint8(PAD_REF))
                 query_t = jnp.where(
                     k < ql[:, None],
                     jnp.take(qflat,
-                             jnp.clip(qsp[ci2][:, None] + qidx, 0,
+                             jnp.clip(qsp2[:, None] + qidx, 0,
                                       qflat.shape[0] - 1),
                              mode="clip"),
                     jnp.uint8(PAD_QUERY))
@@ -421,8 +438,32 @@ class DeviceGactEngine:
         else:
             self._GP_Q = 0
             self._qflat = jax.device_put(qflat)
-        self._g_start_all = (genome.chr_id_to_start_bin
-                             * genome.bin_size).astype(np.int32)
+        # Piece starts stay int64 on host; the device sees them only as
+        # split (row, byte-in-row) pairs, so references beyond 2^31
+        # bytes work on the fetch path.  Per-piece / per-read local
+        # coordinates must individually fit int32 (true for any real
+        # chromosome or read).
+        self._g_start_all = (genome.chr_id_to_start_bin.astype(np.int64)
+                             * genome.bin_size)
+        if len(genome.piece_lengths) and \
+                int(genome.piece_lengths.max()) >= 2**31:
+            raise ValueError("a reference piece exceeds 2^31 bases")
+        if len(queries.lengths) and int(queries.lengths.max()) >= 2**31:
+            raise ValueError("a read exceeds 2^31 bases")
+        if not self._use_fetch and (len(gflat) >= 2**31
+                                    or len(qflat) >= 2**31):
+            raise ValueError(
+                "banks beyond 2^31 bytes need the TPU span-fetch path "
+                "(backend='pallas'); the portable gather path indexes "
+                "with int32")
+
+    @staticmethod
+    def _split_offsets(start64: np.ndarray, GP: int):
+        """(row, rem, rev_row, rev_rem) int32 quadruple for the split
+        combined-bank addressing (rev base = 2*GP - start)."""
+        start64 = start64.astype(np.int64)
+        rv = 2 * np.int64(GP) - start64
+        return (start64 // ROW, start64 % ROW, rv // ROW, rv % ROW)
 
     def run(self, calls: GactCalls, complement) -> list[OverlapRecord]:
         return self.finish(self.run_async(calls, complement))
@@ -469,12 +510,14 @@ class DeviceGactEngine:
                                                      dtype=np.int64)
         comp = np.broadcast_to(
             np.asarray(complement, dtype=np.int32), (N,))
+        g4 = self._split_offsets(self._g_start_all[rid], self._GP_G)
+        q4 = self._split_offsets(self.queries.starts[bid], self._GP_Q)
         records_d, nrec_d = fn(
             np.int32(N), self._gconcat, self._qflat,
             pad(rid), pad(qid), pad(comp),
-            pad(self._g_start_all[rid]),
+            *[pad(x) for x in g4],
             pad(self.genome.piece_lengths[rid].astype(np.int32)),
-            pad(self.queries.starts[bid].astype(np.int32)),
+            *[pad(x) for x in q4],
             pad(self.queries.lengths[bid].astype(np.int32)),
             pad(calls.ref_pos), pad(calls.query_pos))
         return (records_d, nrec_d)
@@ -573,7 +616,7 @@ class ShardedGactEngine(DeviceGactEngine):
                 local, mesh=self.mesh,
                 in_specs=(spec_c, P(*(None,) * self._gconcat.ndim),
                           P(*(None,) * self._qflat.ndim))
-                + (spec_c,) * 9,
+                + (spec_c,) * 15,
                 out_specs=(spec_c, spec_c), check_vma=False))
 
         rid = calls.ref_id.astype(np.int64)
@@ -601,12 +644,14 @@ class ShardedGactEngine(DeviceGactEngine):
             src = np.concatenate(
                 [x.astype(np.int32), np.full(1, fill, np.int32)])
             return src[np.minimum(slot_of, len(x))].astype(np.int32)
+        g4 = self._split_offsets(self._g_start_all[rid], self._GP_G)
+        q4 = self._split_offsets(self.queries.starts[bid], self._GP_Q)
         records_d, nrec_d = fn(
             n_local, self._gconcat, self._qflat,
             pad(rid), pad(qid), pad(comp),
-            pad(self._g_start_all[rid]),
+            *[pad(x) for x in g4],
             pad(self.genome.piece_lengths[rid].astype(np.int32)),
-            pad(self.queries.starts[bid].astype(np.int32)),
+            *[pad(x) for x in q4],
             pad(self.queries.lengths[bid].astype(np.int32)),
             pad(calls.ref_pos), pad(calls.query_pos))
         return ((records_d, nrec_d), None)

@@ -81,19 +81,22 @@ def span_starts(starts, lengths, reverse, GP: int):
 
 
 @functools.partial(jax.jit, static_argnames=("T", "n_rows", "interpret"))
-def fetch_tiles(eff_start, bank3d, *, T: int, n_rows: int,
+def fetch_tiles(eff_row, eff_off, bank3d, *, T: int, n_rows: int,
                 interpret: bool = False):
-    """eff_start: [B] int32 combined-bank span starts; returns
-    [B, TP] uint8 where TP = T rounded up to 128 lanes (tail lanes are
-    bank bytes, callers mask).  B must be a multiple of 8."""
-    B = eff_start.shape[0]
+    """eff_row/eff_off: [B] int32 span starts as (bank row, byte within
+    row) — split addressing so banks beyond 2^31 bytes stay int32-safe
+    on device (rows cap at bytes/512).  Returns [B, TP] uint8 where
+    TP = T rounded up to 128 lanes (tail lanes are bank bytes, callers
+    mask).  B must be a multiple of 8."""
+    B = eff_row.shape[0]
     TP = _round_up(T, 128)
     assert TP + ROW - 1 <= 2 * ROW, (T, ROW)
     assert B % TILES_PER_STEP == 0, B
     C = TILES_PER_STEP
     grid = (B // C,)
 
-    def kernel(info_ref, *refs):
+    def kernel(row_ref, off_ref, *refs):
+        del row_ref
         blocks = refs[: 2 * C]
         out_ref = refs[2 * C]
         b = pl.program_id(0)
@@ -101,29 +104,29 @@ def fetch_tiles(eff_start, bank3d, *, T: int, n_rows: int,
             span = jnp.concatenate(
                 [blocks[2 * t][0], blocks[2 * t + 1][0]],
                 axis=1).astype(jnp.int32)  # dynamic roll is 32-bit only
-            off = info_ref[b * C + t] % ROW
+            off = off_ref[b * C + t]
             rolled = pltpu.roll(span, -off, 1)
             out_ref[t: t + 1, :] = rolled[:, :TP].astype(jnp.uint8)
 
     def mk_spec(t, second):
-        def imap(b, info):
-            return (info[b * C + t] // ROW + second, 0, 0)
+        def imap(b, row, off):
+            return (row[b * C + t] + second, 0, 0)
         return pl.BlockSpec((1, 1, ROW), imap, memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[mk_spec(t, s) for t in range(C) for s in (0, 1)],
-        out_specs=pl.BlockSpec((C, TP), lambda b, info: (b, 0),
+        out_specs=pl.BlockSpec((C, TP), lambda b, row, off: (b, 0),
                                memory_space=pltpu.VMEM),
     )
     # Clip defensively: padding slots may carry arbitrary starts.  The
-    # highest legal start still reads rows (n_rows-2, n_rows-1).
-    info = jnp.clip(eff_start.astype(jnp.int32), 0,
-                    (n_rows - 1) * ROW - 1)
+    # highest legal row still reads rows (n_rows-2, n_rows-1).
+    row = jnp.clip(eff_row.astype(jnp.int32), 0, n_rows - 2)
+    off = jnp.clip(eff_off.astype(jnp.int32), 0, ROW - 1)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, TP), jnp.uint8),
         interpret=interpret,
-    )(info, *([bank3d] * (2 * C)))
+    )(row, off, *([bank3d] * (2 * C)))

@@ -52,10 +52,17 @@ def maybe_initialize(coordinator_address: str | None = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return False
+    # Failure detection: a dead peer is noticed via missed heartbeats
+    # and surfaces as a RuntimeError in every surviving process (at the
+    # next collective, or asynchronously from the coordination
+    # client) — the job fails loudly instead of hanging at the merge
+    # all-gather.  DARWIN_TPU_HEARTBEAT_S tightens the window.
+    heartbeat = int(os.environ.get("DARWIN_TPU_HEARTBEAT_S", "100"))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id,
-        local_device_ids=local_device_ids)
+        local_device_ids=local_device_ids,
+        heartbeat_timeout_seconds=heartbeat)
     return jax.process_count() > 1
 
 

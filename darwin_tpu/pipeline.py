@@ -69,13 +69,15 @@ def collect_calls(table: SeedTable, genome: Genome, queries: SeqBank,
 def collect_calls_device(table: SeedTable, genome: Genome,
                          queries: SeqBank, params: Params,
                          read_ids=None, *, tup_max: int = 8192,
-                         cand_max: int = 512, mesh=None) -> GactCalls:
+                         cand_max: int = 512, mesh=None,
+                         index: str = "auto") -> GactCalls:
     """On-device D-SOFT over the read batch (optionally mesh-sharded).
 
     Reads whose fixed tuple/candidate budget overflows fall back to the
     exact host path, so results are always complete.
     """
-    from darwin_tpu.dsoft.device import (dsoft_device_batch, pad_reads,
+    from darwin_tpu.dsoft.device import (default_index_mode,
+                                         dsoft_device_batch, pad_reads,
                                          sharded_dsoft_fn)
     import jax
 
@@ -84,13 +86,15 @@ def collect_calls_device(table: SeedTable, genome: Genome,
     if len(ids) == 0:
         z = np.empty(0, dtype=np.int64)
         return GactCalls(z, z, z, z)
+    if index == "auto":
+        index = default_index_mode(table.k)
     Q, lens = pad_reads(queries, ids)
-    # Bucket both dims to powers of two so compiled programs are
-    # reusable across read batches of similar shape (the jit is keyed
-    # on [R, L]; padding is masked out by qlens).
-    from darwin_tpu.utils import bucket_pow2
+    # Bucket both dims (reads pow2, lengths half-octave) so compiled
+    # programs are reusable across read batches of similar shape (the
+    # jit is keyed on [R, L]; padding is masked out by qlens).
+    from darwin_tpu.utils import bucket_pow2, bucket_steps
     RP = bucket_pow2(Q.shape[0], 8)
-    LPad = bucket_pow2(Q.shape[1], 1024)
+    LPad = bucket_steps(Q.shape[1], 1024)
     if (RP, LPad) != Q.shape:
         Q = np.pad(Q, ((0, RP - Q.shape[0]), (0, LPad - Q.shape[1])))
         lens = np.pad(lens, (0, RP - len(lens)))
@@ -99,7 +103,7 @@ def collect_calls_device(table: SeedTable, genome: Genome,
               num_seeds_cap=params.num_seeds,
               threshold=params.threshold,
               max_candidates=params.max_candidates,
-              tup_max=tup_max, cand_max=cand_max)
+              tup_max=tup_max, cand_max=cand_max, index=index)
     if mesh is not None:
         n_dev = mesh.devices.size
         R = Q.shape[0]

@@ -106,3 +106,43 @@ def test_cli_distributed_two_processes(data_dir, tmp_path):
     m0 = (tmp_path / "merged.0.out").read_text().splitlines()
     m1 = (tmp_path / "merged.1.out").read_text().splitlines()
     assert m0 == m1 == want
+
+
+@pytest.mark.slow
+def test_abort_propagation_peer_death(data_dir, tmp_path):
+    """Failure detection: when one process of a 2-process job dies,
+    the survivor must fail loudly (missed-heartbeat RuntimeError)
+    within the configured window instead of hanging at the merge."""
+    d = data_dir / "tiny"
+
+    def env(pid):
+        return {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+                "JAX_PLATFORMS": "cpu", "HOME": "/root",
+                "JAX_COORDINATOR_ADDRESS": "127.0.0.1:9951",
+                "JAX_NUM_PROCESSES": "2", "JAX_PROCESS_ID": str(pid),
+                "DARWIN_TPU_HEARTBEAT_S": "10"}
+
+    cmd = [sys.executable, "-m", "darwin_tpu.cli",
+           str(d / "reads.fasta"), str(d / "reads.fasta"),
+           "--params", str(d / "params.cfg"), "--batch-size", "64",
+           "--distributed", "--out-dir", str(tmp_path),
+           "--merged-out", str(tmp_path / "merged.out")]
+    p0 = subprocess.Popen(cmd, env=env(0), cwd=tmp_path,
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE, text=True)
+    # Process 1 initializes the distributed runtime, then dies hard
+    # before doing any work.
+    killer = ("import darwin_tpu.parallel.distributed as dist, os, "
+              "signal; dist.maybe_initialize(); "
+              "os.kill(os.getpid(), signal.SIGKILL)")
+    p1 = subprocess.Popen([sys.executable, "-c", killer], env=env(1),
+                          cwd=tmp_path, stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE, text=True)
+    p1.communicate(timeout=120)
+    try:
+        out, err = p0.communicate(timeout=240)
+    except subprocess.TimeoutExpired:
+        p0.kill()
+        p0.communicate()
+        pytest.fail("survivor hung instead of aborting on peer death")
+    assert p0.returncode != 0, f"survivor exited 0:\n{out[-1000:]}"

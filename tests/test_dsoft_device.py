@@ -152,3 +152,29 @@ def test_collect_calls_device_matches_host():
     np.testing.assert_array_equal(dev.query_id, host.query_id)
     np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
     np.testing.assert_array_equal(dev.query_pos, host.query_pos)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_device_dsoft_dense_index_matches_golden(seed):
+    """index='dense' (CSR gathers over the 4^k hash space) must be
+    bit-identical to the searchsorted path and the golden spec."""
+    gt, reads = _fixture(seed)
+    out_ss = _run_device(gt, reads, fn=lambda q, l, th, tp:
+                         dsoft_device_batch(
+                             q, l, th, tp, k=gt.k, w=gt.w,
+                             bin_size=gt.bin_size,
+                             kmer_max_occ=gt.kmer_max_occurence,
+                             num_seeds_cap=800, threshold=18,
+                             max_candidates=10**6, tup_max=8192,
+                             cand_max=256, index="searchsorted"))
+    out_d = _run_device(gt, reads, fn=lambda q, l, th, tp:
+                        dsoft_device_batch(
+                            q, l, th, tp, k=gt.k, w=gt.w,
+                            bin_size=gt.bin_size,
+                            kmer_max_occ=gt.kmer_max_occurence,
+                            num_seeds_cap=800, threshold=18,
+                            max_candidates=10**6, tup_max=8192,
+                            cand_max=256, index="dense"))
+    for a, b in zip(out_ss, out_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _check_parity(gt, reads, out_d)

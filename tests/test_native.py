@@ -8,6 +8,8 @@ against the reference binary elsewhere.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -205,3 +207,16 @@ def test_build_table_parallel_scan_w1_zero_hash_prefix():
         keys = native.build_table_keys(seq, k, w, num_threads=6)
         expect = np.sort(ref_minimizers(seq, k, w))
         np.testing.assert_array_equal(keys, expect, err_msg=f"w={w}")
+
+
+@pytest.mark.slow
+def test_native_stress_determinism():
+    """Concurrency stress driver: table build + D-SOFT batch must be
+    bit-deterministic across thread counts (make tsan runs the same
+    binary under ThreadSanitizer)."""
+    import subprocess
+    root = Path(__file__).resolve().parent.parent / "darwin_tpu/native"
+    r = subprocess.run(["make", "-C", str(root), "stress"],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "STRESS OK" in r.stdout

@@ -24,9 +24,10 @@ def test_fetch_tiles_matches_slices(T):
 
     # Forward spans address the first copy; reversed reads (tile read
     # back-to-front) address the reversed copy at 2*GP - start - T.
-    eff = np.where(rev, starts, 2 * GP - starts - T).astype(np.int32)
-    out = np.asarray(fetch_tiles(eff, bank, T=T, n_rows=bank.shape[0],
-                                 interpret=True))
+    eff = np.where(rev, starts, 2 * GP - starts - T).astype(np.int64)
+    out = np.asarray(fetch_tiles(
+        (eff // ROW).astype(np.int32), (eff % ROW).astype(np.int32),
+        bank, T=T, n_rows=bank.shape[0], interpret=True))
     for b in range(B):
         span = fwd[starts[b]: starts[b] + T]
         want = span if rev[b] else span[::-1]
@@ -37,8 +38,41 @@ def test_fetch_tiles_clips_padding_slots():
     rng = np.random.default_rng(1)
     flat = rng.integers(65, 91, size=2048).astype(np.uint8)
     bank, GP = build_combined_bank(flat, pad_byte=0)
-    eff = np.array([0, -50, 10 ** 9, 5] + [0] * 4, dtype=np.int32)
-    out = fetch_tiles(eff, bank, T=64, n_rows=bank.shape[0],
-                      interpret=True)
+    eff = np.array([0, -50, 10 ** 9, 5] + [0] * 4, dtype=np.int64)
+    out = fetch_tiles(np.floor_divide(eff, ROW).astype(np.int32),
+                      np.mod(eff, ROW).astype(np.int32), bank, T=64,
+                      n_rows=bank.shape[0], interpret=True)
     assert out.shape[0] == 8  # no crash; garbage rows are masked by
     # callers via per-tile lengths
+
+
+def test_split_offsets_beyond_int32():
+    """Split addressing must agree with int64 math for banks past
+    2^31 bytes (human-scale combined banks are ~6 GB)."""
+    from darwin_tpu.engine.device_batch import DeviceGactEngine
+
+    rng = np.random.default_rng(3)
+    GP = 3_200_000_000  # 3.2 GB padded forward copy
+    starts = np.sort(rng.integers(0, GP - 10 ** 6, size=64)).astype(
+        np.int64)
+    row, rem, rv_row, rv_rem = DeviceGactEngine._split_offsets(
+        starts, GP)
+    np.testing.assert_array_equal(row * ROW + rem, starts)
+    np.testing.assert_array_equal(rv_row * ROW + rv_rem,
+                                  2 * GP - starts)
+    assert rv_row.max() < 2 ** 31  # rows fit int32 (bytes/ROW)
+    assert (rem >= 0).all() and (rem < ROW).all()
+    assert (rv_rem >= 0).all() and (rv_rem < ROW).all()
+    # Device-side recombination: (base_row + s // ROW, s % ROW) for a
+    # local span start must reproduce the absolute int64 address.
+    p_r = rng.integers(0, 2 ** 31 - 10 ** 6, size=64)
+    rl = rng.integers(0, 320, size=64)
+    # forward-copy read [start + p - rl, ...)
+    s = rem + p_r - rl
+    np.testing.assert_array_equal((row + s // ROW) * ROW + s % ROW,
+                                  starts + p_r - rl)
+    # reverse-copy read at 2*GP - start - p - rl
+    s2 = rv_rem - p_r - rl
+    np.testing.assert_array_equal(
+        (rv_row + s2 // ROW) * ROW + np.mod(s2, ROW),
+        2 * GP - starts - p_r - rl)
