@@ -193,11 +193,18 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
             n, overflow)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
 def dense_hash_index(table_hashes, k: int):
     """CSR index over the full 4^k hash space: csr[h] = number of
     table entries with hash < h (so start=csr[h], end=csr[h+1]).
     Built on device by scatter-add + cumsum — the reference's
-    index_table_ (seed_pos_table.cpp:73-94), ~10 ms at k=14."""
+    index_table_ (seed_pos_table.cpp:73-94), ~0.1 s at k=14.
+
+    Deliberately its OWN jit: fusing the 4^k-element scatter/cumsum
+    into the vmapped D-SOFT program sends the remote compiler into the
+    weeds (observed: >20 min, wedging the compile service); compiled
+    alone it takes ~1 min once and the result is cached per table by
+    callers."""
     n = 1 << (2 * k)
     counts = jnp.zeros((n + 1,), jnp.int32).at[
         table_hashes.astype(jnp.int32) + 1].add(1, mode="drop")
@@ -227,7 +234,8 @@ def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
     queries: [R, L] uint8 ASCII (zero-padded), qlens: [R] int32.
     Returns (hits[R, cand_max], offsets[R, cand_max], counts[R],
     overflow[R]); hits/offsets are -1 beyond counts.
-    index: "dense" = direct CSR gathers over the 4^k hash space,
+    index: "dense" = direct CSR gathers over the 4^k hash space
+    (table_hashes must then BE the dense_hash_index array),
     "searchsorted" = binary search over the sorted hash array.
     """
     R, L = queries.shape
@@ -235,8 +243,7 @@ def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
     lut = jnp.asarray(_TWOBIT_LUT)
     codes = lut[queries]
     codes = jnp.pad(codes, ((0, 0), (0, LP - L)))
-    lookup = (dense_hash_index(table_hashes, k) if index == "dense"
-              else table_hashes)
+    lookup = table_hashes
 
     fn = functools.partial(
         _dsoft_one, k=k, w=w, bin_size=bin_size,

@@ -77,6 +77,7 @@ def collect_calls_device(table: SeedTable, genome: Genome,
     exact host path, so results are always complete.
     """
     from darwin_tpu.dsoft.device import (default_index_mode,
+                                         dense_hash_index,
                                          dsoft_device_batch, pad_reads,
                                          sharded_dsoft_fn)
     import jax
@@ -88,6 +89,15 @@ def collect_calls_device(table: SeedTable, genome: Genome,
         return GactCalls(z, z, z, z)
     if index == "auto":
         index = default_index_mode(table.k)
+    if index == "dense":
+        # Built once per table in its own jit (see dense_hash_index)
+        # and cached on the table object.
+        th_arg = getattr(table, "_dense_csr", None)
+        if th_arg is None:
+            th_arg = dense_hash_index(np.asarray(table.hashes), table.k)
+            table._dense_csr = th_arg
+    else:
+        th_arg = np.asarray(table.hashes)
     Q, lens = pad_reads(queries, ids)
     # Bucket both dims (reads pow2, lengths half-octave) so compiled
     # programs are reusable across read batches of similar shape (the
@@ -113,13 +123,12 @@ def collect_calls_device(table: SeedTable, genome: Genome,
             lens = np.pad(lens, (0, RM - R))
         fn = sharded_dsoft_fn(mesh, **kw)
         hits, offs, counts, over = jax.device_get(
-            fn(Q, lens, np.asarray(table.hashes), np.asarray(table.pos)))
+            fn(Q, lens, th_arg, np.asarray(table.pos)))
         hits, offs = hits[: len(ids)], offs[: len(ids)]
         counts, over = counts[: len(ids)], over[: len(ids)]
     else:
         hits, offs, counts, over = jax.device_get(dsoft_device_batch(
-            Q, lens, np.asarray(table.hashes), np.asarray(table.pos),
-            **kw))
+            Q, lens, th_arg, np.asarray(table.pos), **kw))
 
     rid, qid, rpos, qpos = [], [], [], []
     for r, k in enumerate(ids):

@@ -167,9 +167,11 @@ def test_device_dsoft_dense_index_matches_golden(seed):
                              num_seeds_cap=800, threshold=18,
                              max_candidates=10**6, tup_max=8192,
                              cand_max=256, index="searchsorted"))
+    from darwin_tpu.dsoft.device import dense_hash_index
+    csr = dense_hash_index(gt.hashes, gt.k)
     out_d = _run_device(gt, reads, fn=lambda q, l, th, tp:
                         dsoft_device_batch(
-                            q, l, th, tp, k=gt.k, w=gt.w,
+                            q, l, csr, tp, k=gt.k, w=gt.w,
                             bin_size=gt.bin_size,
                             kmer_max_occ=gt.kmer_max_occurence,
                             num_seeds_cap=800, threshold=18,
