@@ -62,6 +62,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="directory for darwin.<i>.out files")
     p.add_argument("--merged-out", default=None,
                    help="also write a sorted-unique merged overlap file")
+    p.add_argument("--paf-out", default=None,
+                   help="also write overlaps as PAF (sorted unique; "
+                        "matches column is exact, 0 under --noscore)")
     p.add_argument("--seed-table", default=None,
                    help="seed table cache path (.npz); built if missing")
     p.add_argument("--noscore", action="store_true",
@@ -211,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
     t_seed = 0.0
     t_gact = 0.0
     n_cand = 0
+    all_recs = []
     prebuilt_engine = None
     for range_id, (lo, hi) in zip(range_ids, ranges):
         out_file = out_dir / f"darwin.{range_id}.out"
@@ -245,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
             t_gact += time.time() - t0
             n_cand += sum(cc)
             print(f"range {range_id}: {cc[0]}+{cc[1]} candidates")
+            all_recs.extend(recs)
             for r in recs:
                 lines.append(format_record(
                     genome.names[r.ref_id],
@@ -278,6 +283,7 @@ def main(argv: list[str] | None = None) -> int:
                 aligner=aligner, batch_size=batch_size,
                 compute_score=not args.noscore)
             t_gact += time.time() - t0
+            all_recs.extend(recs)
             for r in recs:
                 lines.append(format_record(
                     genome.names[r.ref_id], read_records[r.query_id].name,
@@ -300,6 +306,15 @@ def main(argv: list[str] | None = None) -> int:
         Path(args.metrics_json).write_text(
             json.dumps(metrics, indent=2) + "\n")
         print(f"Metrics written to {args.metrics_json}")
+
+    if args.paf_out:
+        from darwin_tpu.io.paf import paf_lines
+        pl = paf_lines(all_recs, genome,
+                       [r.name for r in read_records],
+                       [len(r.seq) for r in read_records])
+        Path(args.paf_out).write_text(
+            "".join(line + "\n" for line in sorted(set(pl))))
+        print(f"PAF written to {args.paf_out}")
 
     if args.merged_out:
         if args.distributed:

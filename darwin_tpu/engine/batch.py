@@ -58,6 +58,9 @@ class OverlapRecord:
     be: int
     score: int
     comp: bool
+    # Matched (char-equal) columns — not part of the reference record
+    # format; carried for PAF output (io/paf.py).  0 under --noscore.
+    nmatch: int = 0
 
 
 def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
@@ -83,6 +86,7 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
     first = np.ones(N, dtype=bool)
     reverse = np.ones(N, dtype=bool)
     score = np.zeros(N, dtype=np.int64)
+    nmatch = np.zeros(N, dtype=np.int64)
     prev_gap = np.zeros(N, dtype=bool)
     has_phase_ops = np.zeros((2, N), dtype=bool)   # [left, right]
     phase_first_gap = np.zeros((2, N), dtype=bool)
@@ -118,7 +122,8 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
             records.append(OverlapRecord(
                 rid, qid, int(ref_bpos[ci]), int(ref_pos[ci]),
                 int(query_bpos[ci]), int(query_pos[ci]),
-                s if compute_score else 0, complement))
+                s if compute_score else 0, complement,
+                int(nmatch[ci])))
 
     jT = np.arange(T, dtype=np.int64)
     gmax = len(genome.concat) - 1
@@ -254,7 +259,7 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
                 return queries.gather(qid_b[:, None], idx)
 
             pg = prev_gap[slot_ci]
-            delta, new_pg, first_gap = score_ops_batch(
+            delta, new_pg, first_gap, n_m = score_ops_batch(
                 ops, ref_chars, query_chars, rp_t, qp_t, rev_b, pg, sp)
 
         has_ops = (ops != 0).any(axis=1)
@@ -268,6 +273,7 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
         i_steps = res.query_steps[upd].astype(np.int64)  # query axis
         if compute_score:
             score[ci_u] += delta[upd].astype(np.int64)
+            nmatch[ci_u] += n_m[upd]
             prev_gap[ci_u] = new_pg[upd]
             fresh = has_ops[upd] & ~has_phase_ops[phase_u, ci_u]
             phase_first_gap[phase_u[fresh], ci_u[fresh]] = \

@@ -112,6 +112,7 @@ def _score_ops(st: _Static, opsT, mbitsT, prev_gap):
 
     delta = jnp.sum(jnp.where(is_m, m_contrib, gap_contrib) * valid,
                     axis=1)
+    n_match = jnp.sum((mbitsT & is_m.astype(bool)).astype(I32), axis=1)
     has_ops = valid.any(axis=1)
     S = valid.shape[1]
     last_idx = jnp.where(
@@ -120,7 +121,7 @@ def _score_ops(st: _Static, opsT, mbitsT, prev_gap):
                                    axis=1)[:, 0]
     new_prev_gap = jnp.where(has_ops, last_gap, prev_gap)
     first_col_gap = is_gap[:, 0] & valid[:, 0]
-    return delta, new_prev_gap, first_col_gap, has_ops
+    return delta, new_prev_gap, first_col_gap, has_ops, n_match
 
 
 def _make_engine_fn(st: _Static, use_fetch: bool = False,
@@ -178,20 +179,21 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
         assign = jnp.where(slot_iota < n_calls, slot_iota, -1)
         term = jnp.zeros(B, bool)
 
-        records = jnp.full((Ncap + 1, 8), -1, I32)
+        records = jnp.full((Ncap + 1, 9), -1, I32)
+        nmat = padded(jnp.zeros(Ncap, I32))
         state = (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
-                 score, hp0, hp1, fg0, fg1, assign, term,
+                 score, nmat, hp0, hp1, fg0, fg1, assign, term,
                  jnp.minimum(jnp.asarray(B, I32), n_calls),
                  jnp.asarray(0, I32), jnp.asarray(0, I32), records)
 
         def cond(state):
-            calls_done = state[15]
+            calls_done = state[16]
             return calls_done < n_calls
 
         def body(state):
             (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap, score,
-             hp0, hp1, fg0, fg1, assign, term, next_ci, calls_done,
-             nrec, records) = state
+             nmat, hp0, hp1, fg0, fg1, assign, term, next_ci,
+             calls_done, nrec, records) = state
 
             # ---- prepare (gact.cpp:298-410) -------------------------
             act = assign >= 0
@@ -227,7 +229,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 [ridp[ci], qidp[ci], rbpos[ci], rpos[ci], qbpos[ci],
                  qpos[ci],
                  fscore if st.compute_score else jnp.zeros(B, I32),
-                 compp[ci]], axis=1)
+                 compp[ci], nmat[ci]], axis=1)
             krank = jnp.cumsum(keep.astype(I32)) - keep
             records = records.at[
                 jnp.where(keep, nrec + krank, Ncap)].set(rows)
@@ -338,9 +340,10 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
 
             opsT = opsT * apply[:, None]
             if st.compute_score:
-                delta, new_pg, first_gap, has_ops = _score_ops(
+                delta, new_pg, first_gap, has_ops, n_m = _score_ops(
                     st, opsT, mbitsT, prev_gap[ci2])
                 score = scatter(score, ci2, score[ci2] + delta, apply)
+                nmat = scatter(nmat, ci2, nmat[ci2] + n_m, apply)
                 prev_gap = scatter(prev_gap, ci2, new_pg, apply)
             else:
                 has_ops = (opsT != 0).any(axis=1)
@@ -370,11 +373,11 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 apply & ((i_steps == 0) | (j_steps == 0)))
 
             return (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
-                    score, hp0, hp1, fg0, fg1, assign, term, next_ci,
-                    calls_done, nrec, records)
+                    score, nmat, hp0, hp1, fg0, fg1, assign, term,
+                    next_ci, calls_done, nrec, records)
 
         state = jax.lax.while_loop(cond, body, state)
-        return state[17][:Ncap], state[16]
+        return state[18][:Ncap], state[17]
 
     return jax.jit(engine)
 
@@ -534,7 +537,8 @@ class DeviceGactEngine:
         for row in np.asarray(records[: int(nrec)]):
             out.append(OverlapRecord(
                 int(row[0]), int(row[1]), int(row[2]), int(row[3]),
-                int(row[4]), int(row[5]), int(row[6]), bool(row[7])))
+                int(row[4]), int(row[5]), int(row[6]), bool(row[7]),
+                int(row[8])))
         return out
 
 
@@ -673,5 +677,5 @@ class ShardedGactEngine(DeviceGactEngine):
                 out.append(OverlapRecord(
                     int(row[0]), int(row[1]), int(row[2]), int(row[3]),
                     int(row[4]), int(row[5]), int(row[6]),
-                    bool(row[7])))
+                    bool(row[7]), int(row[8])))
         return out

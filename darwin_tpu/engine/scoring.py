@@ -88,6 +88,7 @@ def score_ops_batch(ops: np.ndarray, ref_chars_at, query_chars_at,
 
     contrib = np.where(is_m, m_contrib, gap_contrib) * valid
     delta = contrib.sum(axis=1)
+    n_match = (is_m & (rc == qc) & valid).sum(axis=1)
 
     has_ops = valid.any(axis=1)
     last_idx = np.where(has_ops, valid.shape[1] - 1 -
@@ -96,4 +97,5 @@ def score_ops_batch(ops: np.ndarray, ref_chars_at, query_chars_at,
     new_prev_gap = np.where(has_ops, last_gap, prev_gap)
 
     first_col_gap = is_gap[:, 0] & valid[:, 0]
-    return delta.astype(np.int64), new_prev_gap, first_col_gap
+    return (delta.astype(np.int64), new_prev_gap, first_col_gap,
+            n_match.astype(np.int64))
