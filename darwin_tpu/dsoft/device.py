@@ -212,11 +212,17 @@ def dense_hash_index(table_hashes, k: int):
 
 
 def default_index_mode(k: int) -> str:
-    """dense on accelerators up to k=14 (4^k+1 int32 = up to ~1.1 GB
-    of device HBM); binary search elsewhere."""
-    import jax as _jax
-    on_chip = _jax.default_backend() not in ("cpu",)
-    return "dense" if (on_chip and k <= 14) else "searchsorted"
+    """Default hash-lookup strategy for the device D-SOFT.
+
+    "dense" (CSR gathers over 4^k) cuts the dominant lookup cost ~15x
+    in the stage measurements, but compiling the batch program with
+    dense gathers wedges THIS environment's remote compile service for
+    >60 min (observed twice, 2026-08-17) — so it stays opt-in
+    (index="dense") until the toolchain handles it; both paths are
+    golden-parity tested.  Binary search everywhere by default.
+    """
+    del k
+    return "searchsorted"
 
 
 @functools.partial(
