@@ -14,7 +14,8 @@ import numpy as np
 
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
-from darwin_tpu.ops.traceback import traceback_jax
+from darwin_tpu.ops.traceback import (pack_dir_words, traceback_jax,
+                                      traceback_packed_jax)
 
 
 def main() -> None:
@@ -50,13 +51,22 @@ def main() -> None:
         ok = False
     print("parity on", nb, "tiles:", "OK" if ok else "FAIL")
 
-    # Traceback on TPU
+    # Traceback on TPU: byte walk, plus the packed production walk
+    # which must agree bit-for-bit.
     first = np.ones(B, dtype=bool)
     t0 = time.time()
     ops, _mb, i_s, j_s = jax.block_until_ready(traceback_jax(
         got["dir"], rlen, qlen, first, got["max_i"], got["max_j"],
         early_terminate=200))
     print(f"traceback compile+run: {time.time()-t0:.1f}s")
+    p_ops, p_mb, p_is, p_js = jax.block_until_ready(
+        traceback_packed_jax(pack_dir_words(got["dir"]), rlen, qlen,
+                             first, got["max_i"], got["max_j"],
+                             early_terminate=200))
+    pok = (np.array_equal(np.asarray(ops), np.asarray(p_ops))
+           and np.array_equal(np.asarray(i_s), np.asarray(p_is))
+           and np.array_equal(np.asarray(j_s), np.asarray(p_js)))
+    print("packed traceback parity:", "OK" if pok else "FAIL")
 
     # Timing
     for name, fn in [
