@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--threads", type=int, default=8,
                    help="reference binary CPU threads")
+    p.add_argument("--guided", action="store_true",
+                   help="reference-guided mode: reads vs the genome "
+                        "itself (ref != reads, BASELINE configs[1]) "
+                        "instead of self-overlap")
     args = p.parse_args(argv)
 
     from darwin_tpu.config import Params
@@ -61,14 +65,23 @@ def main(argv=None) -> int:
     reads = sample_reads(genome, args.reads, args.read_len, rng,
                          error_rate=args.error, rc_fraction=0.5)
     write_fasta(fasta, reads)
+    if args.guided:
+        ref_fasta = work / "genome.fasta"
+        write_fasta(ref_fasta, [("genome_0", genome)])
+    else:
+        ref_fasta = fasta
     print(f"dataset: {args.reads} x {args.read_len} bp reads over "
-          f"{args.genome} bp genome -> {fasta}")
+          f"{args.genome} bp genome -> {fasta}"
+          + (" (guided: vs the genome)" if args.guided else ""))
 
     params = Params()
     records = parse_fasta(fasta)
+    ref_records = parse_fasta(ref_fasta) if args.guided else records
+    same_file = not args.guided
     engine = "device" if _on_accelerator() else "host"
     t0 = time.time()
-    res = run_pipeline(records, records, params, same_file=True,
+    res = run_pipeline(ref_records, records, params,
+                       same_file=same_file,
                        batch_size=args.batch_size, engine=engine)
     cold = time.time() - t0
     # Two warm runs, keep the best: device_put throughput over the
@@ -77,7 +90,8 @@ def main(argv=None) -> int:
     warm = float("inf")
     for _ in range(2):
         t0 = time.time()
-        res = run_pipeline(records, records, params, same_file=True,
+        res = run_pipeline(ref_records, records, params,
+                           same_file=same_file,
                            batch_size=args.batch_size, engine=engine)
         warm = min(warm, time.time() - t0)
     ours = sorted(set(res.records))
@@ -92,12 +106,15 @@ def main(argv=None) -> int:
     refdir = work / "ref"
     refdir.mkdir(exist_ok=True)
     (refdir / "reads.fasta").write_bytes(fasta.read_bytes())
+    if args.guided:
+        (refdir / "genome.fasta").write_bytes(ref_fasta.read_bytes())
     cfg = Path(args.darwin).parent / "params.cfg"
     if not cfg.exists():
         cfg = REPO.parent / "reference" / "params.cfg"
     (refdir / "params.cfg").write_bytes(cfg.read_bytes())
     t0 = time.time()
-    subprocess.run([str(Path(args.darwin).resolve()), "reads.fasta",
+    ref_arg = "genome.fasta" if args.guided else "reads.fasta"
+    subprocess.run([str(Path(args.darwin).resolve()), ref_arg,
                     "reads.fasta", str(args.threads)],
                    cwd=refdir, check=True, capture_output=True)
     ref_t = time.time() - t0
