@@ -125,3 +125,26 @@ def test_cli_empty_reads(data_dir, tmp_path):
                        cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "out.darwin").read_text() == ""
+
+
+@pytest.mark.slow
+def test_cli_jax_cache_flag(data_dir, tmp_path):
+    """--jax-cache enables the persistent compilation cache directory
+    (populated on CPU backends; through the tunnel relay it is a
+    no-op, documented in BENCH_NOTES)."""
+    d = data_dir / "tiny"
+    cache = tmp_path / "jaxcache"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    r = subprocess.run(
+        [sys.executable, "-m", "darwin_tpu.cli", str(d / "reads.fasta"),
+         str(d / "reads.fasta"), "--params", str(d / "params.cfg"),
+         "--batch-size", "64", "--out-dir", str(tmp_path),
+         "--jax-cache", str(cache),
+         "--merged-out", str(tmp_path / "m.out")],
+        capture_output=True, text=True, env=env, cwd=tmp_path,
+        timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    want = sorted(set((d / "out.darwin").read_text().splitlines()))
+    assert (tmp_path / "m.out").read_text().splitlines() == want
+    assert cache.exists() and any(cache.iterdir())
