@@ -28,6 +28,11 @@ import time
 import numpy as np
 
 BASELINE_CPU_KERNEL_GCUPS = 0.011
+# Modeled K40 CUDA-kernel GCUPS (realistic mid-point of the op-census
+# cost model in BASELINE.md: ceiling 47, realistic 19-33).  The CUDA
+# build cannot run here (needs a Kepler GPU + nvcc); this keeps the
+# honest comparison in the bench artifact itself.
+MODELED_CUDA_KERNEL_GCUPS = 25.0
 
 B = 2048
 T = 320
@@ -77,32 +82,55 @@ def main() -> None:
         return (ops.astype(jnp.int32).sum() + i_s.sum() + j_s.sum()
                 + out["max_score"].sum())
 
-    def chained(rs, qs):
-        def body(carry, rq):
-            return carry + one_step(*rq), None
-        total, _ = jax.lax.scan(body, jnp.int32(0), (rs, qs))
-        return total
+    def dp_only_step(r, q):
+        if backend == "pallas":
+            out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                     dir_format="packed", **kw)
+            words = out["dir_words"]
+        else:
+            out = align_tiles_jax(r, q, rlen, qlen, **kw)
+            words = pack_dir_words(out["dir"])
+        return (words[:, ::37, ::41].astype(jnp.int32).sum()
+                + out["max_score"].sum() + out["max_i"].sum())
 
-    jchained = jax.jit(chained)
+    def chained_with(step):
+        def chained(rs, qs):
+            def body(carry, rq):
+                return carry + step(*rq), None
+            total, _ = jax.lax.scan(body, jnp.int32(0), (rs, qs))
+            return total
+        return jax.jit(chained)
+
     refs_d = jax.device_put(refs)
     queries_d = jax.device_put(queries)
-    sink = int(jax.device_get(jchained(refs_d, queries_d)))  # compile
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        sink ^= int(jax.device_get(jchained(refs_d, queries_d)))
-    dt = (time.time() - t0) / reps
+    def timed(jfn, reps=3):
+        sink = int(jax.device_get(jfn(refs_d, queries_d)))  # compile
+        t0 = time.time()
+        for _ in range(reps):
+            sink ^= int(jax.device_get(jfn(refs_d, queries_d)))
+        return (time.time() - t0) / reps, sink
+
+    dt, sink = timed(chained_with(one_step))
+    dt_dp, _ = timed(chained_with(dp_only_step))
 
     cells = float(V) * B * T * T
     gcups = cells / dt / 1e9
+    step_ms = dt / V * 1e3
+    dp_ms = dt_dp / V * 1e3
     print(f"chained {V} steps: {dt*1e3:.1f} ms "
-          f"({dt/V*1e3:.1f} ms/step, sink={sink})", file=sys.stderr)
+          f"({step_ms:.1f} ms/step = DP ~{dp_ms:.1f} + "
+          f"traceback ~{step_ms - dp_ms:.1f}, sink={sink})",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "gact_gcups",
         "value": round(gcups, 2),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_CPU_KERNEL_GCUPS, 1),
+        "vs_cuda_modeled": round(gcups / MODELED_CUDA_KERNEL_GCUPS, 2),
+        "step_ms": round(step_ms, 2),
+        "dp_ms": round(dp_ms, 2),
+        "traceback_ms": round(step_ms - dp_ms, 2),
     }))
 
 

@@ -211,20 +211,40 @@ def main(argv: list[str] | None = None) -> int:
                   for lo in range(0, num_reads, per)]
         range_ids = list(range(len(ranges)))
 
+    read_names = [r.name for r in read_records]
+    read_lens = [len(r.seq) for r in read_records]
+
+    def recs_to_paf(recs):
+        from darwin_tpu.io.paf import paf_lines
+        return paf_lines(recs, genome, read_names, read_lens)
+
     t_seed = 0.0
     t_gact = 0.0
     n_cand = 0
-    all_recs = []
+    all_paf: list[str] = []
     prebuilt_engine = None
     for range_id, (lo, hi) in zip(range_ids, ranges):
         out_file = out_dir / f"darwin.{range_id}.out"
+        paf_file = out_dir / f"darwin.{range_id}.paf"
         if args.resume and out_file.exists():
             prior = out_file.read_text().splitlines()
             all_lines.extend(prior)
             print(f"range {range_id}: resumed from {out_file} "
                   f"({len(prior)} records)")
+            if args.paf_out:
+                # PAF needs per-record data the .out text does not carry
+                # (nmatch/ncols); resume from the sidecar the previous
+                # --paf-out run wrote alongside the .out file.
+                if paf_file.exists():
+                    all_paf.extend(paf_file.read_text().splitlines())
+                else:
+                    print(f"WARNING: no {paf_file} sidecar; range "
+                          f"{range_id} will be missing from "
+                          f"{args.paf_out} (re-run without --resume "
+                          f"to regenerate)", file=sys.stderr)
             continue
         lines: list[str] = []
+        range_recs: list = []
         if engine == "device":
             from darwin_tpu.pipeline import (make_merged_engine,
                                              run_device_merged)
@@ -249,48 +269,43 @@ def main(argv: list[str] | None = None) -> int:
             t_gact += time.time() - t0
             n_cand += sum(cc)
             print(f"range {range_id}: {cc[0]}+{cc[1]} candidates")
-            all_recs.extend(recs)
-            for r in recs:
-                lines.append(format_record(
-                    genome.names[r.ref_id],
-                    read_records[r.query_id].name,
-                    r.ab, r.ae, r.bb, r.be, r.score, r.comp))
-            (out_dir / f"darwin.{range_id}.out").write_text(
-                "".join(line + "\n" for line in lines))
-            all_lines.extend(lines)
-            continue
-        for comp, bank in ((False, fwd_bank), (True, rev_bank)):
-            t0 = time.time()
-            if args.dsoft == "device":
-                from darwin_tpu.pipeline import collect_calls_device
-                calls = collect_calls_device(table, genome, bank,
-                                             params,
-                                             read_ids=range(lo, hi))
-            else:
-                calls = collect_calls(table, genome, bank, params,
-                                      read_ids=range(lo, hi),
-                                      num_threads=args.threads)
-            t_seed += time.time() - t0
-            n_cand += len(calls)
-            print(f"range {range_id} comp {int(comp)}: "
-                  f"{len(calls)} candidates")
-            t0 = time.time()
-            recs = run_gact_batch(
-                genome, bank, calls, tile_size=params.tile_size,
-                first_tile_score_threshold=(
-                    params.first_tile_score_threshold),
-                sp=sp, complement=comp, same_file=same_file,
-                aligner=aligner, batch_size=batch_size,
-                compute_score=not args.noscore)
-            t_gact += time.time() - t0
-            all_recs.extend(recs)
-            for r in recs:
-                lines.append(format_record(
-                    genome.names[r.ref_id], read_records[r.query_id].name,
-                    r.ab, r.ae, r.bb, r.be, r.score, r.comp))
-        (out_dir / f"darwin.{range_id}.out").write_text(
-            "".join(line + "\n" for line in lines))
+            range_recs.extend(recs)
+        else:
+            for comp, bank in ((False, fwd_bank), (True, rev_bank)):
+                t0 = time.time()
+                if args.dsoft == "device":
+                    from darwin_tpu.pipeline import collect_calls_device
+                    calls = collect_calls_device(table, genome, bank,
+                                                 params,
+                                                 read_ids=range(lo, hi))
+                else:
+                    calls = collect_calls(table, genome, bank, params,
+                                          read_ids=range(lo, hi),
+                                          num_threads=args.threads)
+                t_seed += time.time() - t0
+                n_cand += len(calls)
+                print(f"range {range_id} comp {int(comp)}: "
+                      f"{len(calls)} candidates")
+                t0 = time.time()
+                recs = run_gact_batch(
+                    genome, bank, calls, tile_size=params.tile_size,
+                    first_tile_score_threshold=(
+                        params.first_tile_score_threshold),
+                    sp=sp, complement=comp, same_file=same_file,
+                    aligner=aligner, batch_size=batch_size,
+                    compute_score=not args.noscore)
+                t_gact += time.time() - t0
+                range_recs.extend(recs)
+        for r in range_recs:
+            lines.append(format_record(
+                genome.names[r.ref_id], read_records[r.query_id].name,
+                r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+        out_file.write_text("".join(line + "\n" for line in lines))
         all_lines.extend(lines)
+        if args.paf_out:
+            pl = recs_to_paf(range_recs)
+            paf_file.write_text("".join(line + "\n" for line in pl))
+            all_paf.extend(pl)
 
     print(f"Time finding seeds: {t_seed * 1e3:.0f} msec")
     print(f"Time GACT calling: {t_gact * 1e3:.0f} msec")
@@ -308,13 +323,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Metrics written to {args.metrics_json}")
 
     if args.paf_out:
-        from darwin_tpu.io.paf import paf_lines
-        pl = paf_lines(all_recs, genome,
-                       [r.name for r in read_records],
-                       [len(r.seq) for r in read_records])
+        if args.distributed:
+            # All-gather so every process writes the full merged PAF,
+            # mirroring the reference's one-merged-output convention
+            # (README:25) and --merged-out below.
+            from darwin_tpu.parallel import distributed as dist
+            paf_merged = dist.allgather_records(all_paf)
+        else:
+            paf_merged = sorted(set(all_paf))
         Path(args.paf_out).write_text(
-            "".join(line + "\n" for line in sorted(set(pl))))
-        print(f"PAF written to {args.paf_out}")
+            "".join(line + "\n" for line in paf_merged))
+        print(f"PAF written to {args.paf_out} "
+              f"({len(paf_merged)} records)")
 
     if args.merged_out:
         if args.distributed:
@@ -340,6 +360,7 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
     n_cand = 0
     n_reads = 0
     all_lines: list[str] = []
+    all_paf: list[str] = []
     mesh = None
     if engine == "device" and args.mesh:
         # Built once: each chunk's engine differs (banks differ) but the
@@ -353,10 +374,19 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
             break
         n_reads += len(chunk)
         out_file = out_dir / f"darwin.{chunk_id}.out"
+        paf_file = out_dir / f"darwin.{chunk_id}.paf"
         if args.resume and out_file.exists():
             prior = out_file.read_text().splitlines()
             all_lines.extend(prior)
             print(f"chunk {chunk_id}: resumed ({len(prior)} records)")
+            if args.paf_out:
+                if paf_file.exists():
+                    all_paf.extend(paf_file.read_text().splitlines())
+                else:
+                    print(f"WARNING: no {paf_file} sidecar; chunk "
+                          f"{chunk_id} will be missing from "
+                          f"{args.paf_out} (re-run without --resume "
+                          f"to regenerate)", file=sys.stderr)
             continue
         fwd = SeqBank([seq_to_bytes(r.seq) for r in chunk])
         rev = SeqBank([seq_to_bytes(revcomp(r.seq)) for r in chunk])
@@ -390,6 +420,12 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
                 r.ab, r.ae, r.bb, r.be, r.score, r.comp))
         out_file.write_text("".join(line + "\n" for line in lines))
         all_lines.extend(lines)
+        if args.paf_out:
+            from darwin_tpu.io.paf import paf_lines
+            pl = paf_lines(recs, genome, [r.name for r in chunk],
+                           [len(r.seq) for r in chunk])
+            paf_file.write_text("".join(line + "\n" for line in pl))
+            all_paf.extend(pl)
         print(f"chunk {chunk_id}: {len(chunk)} reads, "
               f"{len(lines)} records")
 
@@ -404,6 +440,12 @@ def _run_chunked(args, params, genome, table, engine, aligner, sp,
                        reads_per_s=n_reads / max(1e-9, t_align))
         Path(args.metrics_json).write_text(
             json.dumps(metrics, indent=2) + "\n")
+    if args.paf_out:
+        paf_merged = sorted(set(all_paf))
+        Path(args.paf_out).write_text(
+            "".join(line + "\n" for line in paf_merged))
+        print(f"PAF written to {args.paf_out} "
+              f"({len(paf_merged)} records)")
     if args.merged_out:
         merged = sorted(set(all_lines))
         Path(args.merged_out).write_text(

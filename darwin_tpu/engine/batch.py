@@ -61,6 +61,10 @@ class OverlapRecord:
     # Matched (char-equal) columns — not part of the reference record
     # format; carried for PAF output (io/paf.py).  0 under --noscore.
     nmatch: int = 0
+    # Total alignment columns (matches + mismatches + gap columns) =
+    # op-stream length; PAF column 11.  0 only for records re-parsed
+    # from .out text (no op stream available).
+    ncols: int = 0
 
 
 def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
@@ -87,6 +91,7 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
     reverse = np.ones(N, dtype=bool)
     score = np.zeros(N, dtype=np.int64)
     nmatch = np.zeros(N, dtype=np.int64)
+    ncols = np.zeros(N, dtype=np.int64)
     prev_gap = np.zeros(N, dtype=bool)
     has_phase_ops = np.zeros((2, N), dtype=bool)   # [left, right]
     phase_first_gap = np.zeros((2, N), dtype=bool)
@@ -123,7 +128,7 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
                 rid, qid, int(ref_bpos[ci]), int(ref_pos[ci]),
                 int(query_bpos[ci]), int(query_pos[ci]),
                 s if compute_score else 0, complement,
-                int(nmatch[ci])))
+                int(nmatch[ci]), int(ncols[ci])))
 
     jT = np.arange(T, dtype=np.int64)
     gmax = len(genome.concat) - 1
@@ -271,6 +276,7 @@ def run_gact_batch(genome: Genome, queries: SeqBank, calls: GactCalls,
         phase_u = np.where(rev_u, 0, 1)
         j_steps = res.ref_steps[upd].astype(np.int64)    # ref axis
         i_steps = res.query_steps[upd].astype(np.int64)  # query axis
+        ncols[ci_u] += (ops[upd] != 0).sum(axis=1)
         if compute_score:
             score[ci_u] += delta[upd].astype(np.int64)
             nmatch[ci_u] += n_m[upd]

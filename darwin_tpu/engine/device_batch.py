@@ -179,20 +179,21 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
         assign = jnp.where(slot_iota < n_calls, slot_iota, -1)
         term = jnp.zeros(B, bool)
 
-        records = jnp.full((Ncap + 1, 9), -1, I32)
+        records = jnp.full((Ncap + 1, 10), -1, I32)
         nmat = padded(jnp.zeros(Ncap, I32))
+        ncol = padded(jnp.zeros(Ncap, I32))
         state = (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
-                 score, nmat, hp0, hp1, fg0, fg1, assign, term,
+                 score, nmat, ncol, hp0, hp1, fg0, fg1, assign, term,
                  jnp.minimum(jnp.asarray(B, I32), n_calls),
                  jnp.asarray(0, I32), jnp.asarray(0, I32), records)
 
         def cond(state):
-            calls_done = state[16]
+            calls_done = state[17]
             return calls_done < n_calls
 
         def body(state):
             (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap, score,
-             nmat, hp0, hp1, fg0, fg1, assign, term, next_ci,
+             nmat, ncol, hp0, hp1, fg0, fg1, assign, term, next_ci,
              calls_done, nrec, records) = state
 
             # ---- prepare (gact.cpp:298-410) -------------------------
@@ -229,7 +230,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 [ridp[ci], qidp[ci], rbpos[ci], rpos[ci], qbpos[ci],
                  qpos[ci],
                  fscore if st.compute_score else jnp.zeros(B, I32),
-                 compp[ci], nmat[ci]], axis=1)
+                 compp[ci], nmat[ci], ncol[ci]], axis=1)
             krank = jnp.cumsum(keep.astype(I32)) - keep
             records = records.at[
                 jnp.where(keep, nrec + krank, Ncap)].set(rows)
@@ -339,6 +340,8 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
             qbpos = scatter(qbpos, ci2, qp_t, fb_rev)
 
             opsT = opsT * apply[:, None]
+            n_ops = jnp.sum((opsT != 0).astype(I32), axis=1)
+            ncol = scatter(ncol, ci2, ncol[ci2] + n_ops, apply)
             if st.compute_score:
                 delta, new_pg, first_gap, has_ops, n_m = _score_ops(
                     st, opsT, mbitsT, prev_gap[ci2])
@@ -373,11 +376,11 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 apply & ((i_steps == 0) | (j_steps == 0)))
 
             return (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
-                    score, nmat, hp0, hp1, fg0, fg1, assign, term,
+                    score, nmat, ncol, hp0, hp1, fg0, fg1, assign, term,
                     next_ci, calls_done, nrec, records)
 
         state = jax.lax.while_loop(cond, body, state)
-        return state[18][:Ncap], state[17]
+        return state[19][:Ncap], state[18]
 
     return jax.jit(engine)
 
@@ -448,11 +451,15 @@ class DeviceGactEngine:
         # chromosome or read).
         self._g_start_all = (genome.chr_id_to_start_bin.astype(np.int64)
                              * genome.bin_size)
+        # Split addressing adds a byte-in-row remainder (< ROW) to
+        # in-piece positions in int32, so the per-piece bound is
+        # 2^31 - ROW, not 2^31 (no real sequence approaches either).
         if len(genome.piece_lengths) and \
-                int(genome.piece_lengths.max()) >= 2**31:
-            raise ValueError("a reference piece exceeds 2^31 bases")
-        if len(queries.lengths) and int(queries.lengths.max()) >= 2**31:
-            raise ValueError("a read exceeds 2^31 bases")
+                int(genome.piece_lengths.max()) >= 2**31 - ROW:
+            raise ValueError("a reference piece exceeds 2^31-512 bases")
+        if len(queries.lengths) and \
+                int(queries.lengths.max()) >= 2**31 - ROW:
+            raise ValueError("a read exceeds 2^31-512 bases")
         if not self._use_fetch and (len(gflat) >= 2**31
                                     or len(qflat) >= 2**31):
             raise ValueError(
@@ -538,7 +545,7 @@ class DeviceGactEngine:
             out.append(OverlapRecord(
                 int(row[0]), int(row[1]), int(row[2]), int(row[3]),
                 int(row[4]), int(row[5]), int(row[6]), bool(row[7]),
-                int(row[8])))
+                int(row[8]), int(row[9])))
         return out
 
 
@@ -677,5 +684,5 @@ class ShardedGactEngine(DeviceGactEngine):
                 out.append(OverlapRecord(
                     int(row[0]), int(row[1]), int(row[2]), int(row[3]),
                     int(row[4]), int(row[5]), int(row[6]),
-                    bool(row[7]), int(row[8])))
+                    bool(row[7]), int(row[8]), int(row[9])))
         return out

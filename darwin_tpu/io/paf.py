@@ -9,8 +9,12 @@ query span is mapped back to the original read strand, as PAF requires.
 
 Column 10 (matching bases) uses the engine's exact per-record match
 count (OverlapRecord.nmatch; 0 under --noscore).  Column 11 is the
-alignment block length upper bound max(span_r, span_q); mapq is 255
-(unavailable).  The score is carried as an AS:i tag.
+exact alignment block length (matches + mismatches + gap columns =
+OverlapRecord.ncols, the engine's op-stream length); for records that
+carry no op-stream tally (ncols == 0, e.g. re-parsed from .out text)
+it falls back to max(span_r, span_q), which is a LOWER bound on the
+block length.  mapq is 255 (unavailable).  The score is carried as an
+AS:i tag.
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ def paf_line(rec: OverlapRecord, ref_name: str, ref_len: int,
         qs, qe = query_len - rec.be, query_len - rec.bb
     else:
         qs, qe = rec.bb, rec.be
-    blk = max(rec.ae - rec.ab, rec.be - rec.bb)
+    blk = rec.ncols if rec.ncols > 0 else max(rec.ae - rec.ab,
+                                              rec.be - rec.bb)
     cols = [query_name, query_len, qs, qe,
             "-" if rec.comp else "+",
             ref_name, ref_len, rec.ab, rec.ae,

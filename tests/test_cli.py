@@ -90,6 +90,63 @@ def test_cli_chunked_streaming_matches_unchunked(data_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_paf_resume_sidecar(data_dir, tmp_path):
+    """--paf-out + --resume: resumed ranges reload their per-range PAF
+    sidecar, so the merged PAF stays complete across restarts."""
+    d = data_dir / "tiny"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+    base = [sys.executable, "-m", "darwin_tpu.cli",
+            str(d / "reads.fasta"), str(d / "reads.fasta"), "2",
+            "--params", str(d / "params.cfg"), "--batch-size", "64",
+            "--out-dir", str(tmp_path),
+            "--paf-out", str(tmp_path / "out.paf")]
+    r = subprocess.run(base, capture_output=True, text=True, env=env,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "darwin.0.paf").exists()
+    first = (tmp_path / "out.paf").read_text()
+    assert first
+
+    r = subprocess.run(base + ["--resume"], capture_output=True,
+                       text=True, env=env, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resumed" in r.stdout
+    assert (tmp_path / "out.paf").read_text() == first
+
+    # A missing sidecar must warn, not silently drop records.
+    (tmp_path / "darwin.0.paf").unlink()
+    r = subprocess.run(base + ["--resume"], capture_output=True,
+                       text=True, env=env, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "WARNING" in r.stderr and "darwin.0.paf" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_chunked_paf(data_dir, tmp_path):
+    """--chunk-reads + --paf-out writes the same PAF as the in-memory
+    run (this combination used to be silently ignored)."""
+    d = data_dir / "guided"
+    env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",
+           "JAX_PLATFORMS": "cpu", "HOME": "/root"}
+
+    def run(extra, out):
+        cmd = [sys.executable, "-m", "darwin_tpu.cli",
+               str(d / "ref.fasta"), str(d / "reads.fasta"),
+               "--params", str(d / "params.cfg"), "--batch-size", "64",
+               "--out-dir", str(tmp_path / out),
+               "--paf-out", str(tmp_path / f"{out}.paf")] + extra
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           env=env, cwd=tmp_path)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return (tmp_path / f"{out}.paf").read_text().splitlines()
+
+    whole = run([], "whole")
+    chunked = run(["--chunk-reads", "5"], "chunk")
+    assert whole and chunked == whole
+
+
+@pytest.mark.slow
 def test_cli_mesh_sharded_engine(data_dir, tmp_path):
     d = data_dir / "tiny"
     env = {"PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin",

@@ -23,6 +23,63 @@ def test_paf_line_strand_and_coords():
     assert cols[4] == "-"
 
 
+def test_paf_line_exact_block_length():
+    """With an op-stream tally (ncols), column 11 is exact — matches +
+    mismatches + gap columns — not the span lower bound."""
+    r = OverlapRecord(0, 1, 100, 500, 10, 400, 333, False,
+                      nmatch=350, ncols=412)
+    assert paf_line(r, "chr1", 1000, "read1", 450).split("\t")[10] \
+        == "412"
+
+
+def test_engine_ncols_vs_golden():
+    """The engine's per-record column tally equals the number of ops
+    the golden scalar pipeline emits for the same record."""
+    from darwin_tpu.coding import seq_to_bytes
+    from darwin_tpu.engine.aligner import JaxTileAligner
+    from darwin_tpu.engine.batch import run_gact_batch
+    from darwin_tpu.engine.scoring import ScoreParams
+    from darwin_tpu.engine.seqbank import SeqBank
+    from darwin_tpu.eval.datagen import sample_reads, synth_genome
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.pipeline import collect_calls
+
+    rng = np.random.default_rng(11)
+    genome_s = synth_genome(6_000, rng)
+    reads = [FastaRecord([n], s) for n, s in
+             sample_reads(genome_s, 6, 1_500, rng)]
+    params = Params(seed_size=12, tile_size=64, tile_overlap=24,
+                    threshold=12, bin_size=32)
+    genome = Genome(reads, params.bin_size)
+    table = SeedTable.build(genome.concat, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    bank = SeqBank([seq_to_bytes(r.seq) for r in reads])
+    calls = collect_calls(table, genome, bank, params)
+    aligner = JaxTileAligner(
+        tile_size=params.tile_size,
+        early_terminate=params.early_terminate, match=params.match,
+        mismatch=params.mismatch, gap_open=params.gap_open,
+        gap_extend=params.gap_extend, backend="lax")
+    recs = run_gact_batch(
+        genome, bank, calls, tile_size=params.tile_size,
+        first_tile_score_threshold=params.first_tile_score_threshold,
+        sp=ScoreParams(params.match, params.mismatch, params.gap_open,
+                       params.gap_extend),
+        complement=False, same_file=True, aligner=aligner,
+        batch_size=16)
+    assert recs
+    for rec in recs:
+        # Sampled perfect reads: every walked column is an exact match,
+        # so the tally equals nmatch.  Spans may exceed it: first-tile
+        # re-anchoring moves the record start to the tile's max cell
+        # without emitting ops (gact.cpp first-tile semantics), so the
+        # op count is bounded by — not equal to — the larger span.
+        assert rec.ncols == rec.nmatch > 0
+        assert rec.ncols <= max(rec.ae - rec.ab, rec.be - rec.bb)
+
+
 @pytest.mark.slow
 def test_paf_from_pipeline_perfect_reads():
     """Perfect self-sampled reads: every PAF record must stay within
