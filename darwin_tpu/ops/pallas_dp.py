@@ -61,7 +61,7 @@ def _score_dtype(T: int, match: int, mismatch: int, gap_open: int,
 
 def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
                  gap_open: int, gap_extend: int, sdt, neg_inf: int,
-                 packed: bool):
+                 packed: bool, interleave: int = 1):
     n_row_blocks = T // ROWS_PER_STEP
 
     def kernel(refT_ref, query_ref, rlen_ref, qlen_ref,    # inputs
@@ -105,17 +105,10 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 
         rlen = rlen_ref[:].astype(sdt)      # [BB, 1]
         qlen = qlen_ref[:].astype(sdt)
-        qs = qs_s[:]
+        qs_full = qs_s[:]
 
         # 8 ref chars for this row block: [8, BB] -> [BB, 8].
         rc8 = refT_ref[:].astype(sdt).T
-
-        # d never feeds the next row directly (prev3 = max(m,i,d) does),
-        # so no d scratch is carried.
-        m_prev, i_prev = m_s[:], i_s[:]
-        best_h, best_i, pos_h = bh_s[:], bi_s[:], ph_s[:]
-        prev3 = p3_s[:]  # max(m, i, d) of the previous row, carried
-        t_prev = tp_s[:] if packed else None  # prior row's low half-word
 
         # Lane-derived constants, loop-invariant across the 8 rows.
         u_base = c(gap_open) - lane * c(gap_extend)
@@ -124,19 +117,39 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         jvalid = (lane >= c(1)) & (lane <= qlen)
         go_minus_ge = c(gap_open - gap_extend)
 
-        for r in range(ROWS_PER_STEP):
+        # ILP streams: split the batch block into `interleave`
+        # independent sub-blocks and alternate their row updates in the
+        # unrolled body, so one stream's independent work can fill the
+        # other's ~log2(TJP)-step serial shift-max latency (the CUDA
+        # kernel's 8x8 register blocking serves the same purpose,
+        # cuda_header.h:156-243).  interleave=1 is the plain kernel;
+        # results are bit-identical for any value.
+        H = BB // interleave
+        streams = []
+        for si in range(interleave):
+            z = slice(si * H, (si + 1) * H)
+            # d never feeds the next row directly (prev3 = max(m,i,d)
+            # does), so no d scratch is carried.
+            streams.append(dict(
+                z=z, qs=qs_full[z], rc8=rc8[z], rlen=rlen[z],
+                ub=u_base[z], db=d_base[z], l0=lane0[z], jv=jvalid[z],
+                m=m_s[z], i=i_s[z], bh=bh_s[z], bi=bi_s[z],
+                ph=ph_s[z], p3=p3_s[z],
+                tp=(tp_s[z] if packed else None)))
+
+        def row_update(sv, r):
             i = ib * ROWS_PER_STEP + r  # DP row is i+1
             ip1 = jax.lax.convert_element_type(i + 1, sdt)
-            rc = rc8[:, r: r + 1]                            # [BB, 1]
-            is_eq = qs == rc
+            rc = sv["rc8"][:, r: r + 1]                      # [H, 1]
+            is_eq = sv["qs"] == rc
             match_s = jnp.where(is_eq, c(match), c(mismatch))
 
-            m_new = jnp.maximum(shift_right(prev3, 1, 0) + match_s,
+            m_new = jnp.maximum(shift_right(sv["p3"], 1, 0) + match_s,
                                 c(0))
-            m_new = jnp.where(lane0, c(0), m_new)
+            m_new = jnp.where(sv["l0"], c(0), m_new)
 
-            ins_open = m_prev + c(gap_open)
-            ins_ext = i_prev + c(gap_extend)
+            ins_open = sv["m"] + c(gap_open)
+            ins_ext = sv["i"] + c(gap_extend)
             i_new = jnp.maximum(ins_open, ins_ext)
             if gap_open > 0:
                 # Lane 0 is DP column 0 (i = -inf).  With the usual
@@ -144,17 +157,17 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
                 # max(go, ...) never escapes: every cross-lane use
                 # shifts right and prev3[0] = max(0, go, -inf) = 0.
                 # Only a positive gap_open needs the explicit mask.
-                i_new = jnp.where(lane0, c(neg_inf), i_new)
+                i_new = jnp.where(sv["l0"], c(neg_inf), i_new)
 
             # d[j] = (j-1)*ge + cummax_{l<=j-1}(m[l] + go - l*ge)
-            u = m_new + u_base
+            u = m_new + sv["ub"]
             s = 1
             while s < TJP:
                 u = jnp.maximum(u, shift_right(u, s, neg_inf))
                 s *= 2
             # Lane 0 needs no mask: the shift fills -inf and d_base[0]
             # is a tiny constant, so d_new[0] stays hugely negative.
-            d_new = shift_right(u, 1, neg_inf) + d_base
+            d_new = shift_right(u, 1, neg_inf) + sv["db"]
 
             mx3 = jnp.maximum(jnp.maximum(m_new, i_new), d_new)
             h = jnp.maximum(mx3, c(0))
@@ -177,8 +190,8 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             op = op + jnp.where(flag_d, c(GAP_OPEN_FLAG_D), c(0))
             op = op + jnp.where(is_eq, c(MATCH_BIT), c(0))
 
-            rvalid = ip1 <= rlen
-            valid = jvalid & rvalid
+            rvalid = ip1 <= sv["rlen"]
+            valid = sv["jv"] & rvalid
             opb = jnp.where(valid, op, c(0))
             if packed:
                 # Traceback word: this cell, its right-lane neighbour,
@@ -186,29 +199,39 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
                 # gather then yields the walker's current cell plus all
                 # three move targets (see traceback_packed_jax).
                 t = (opb + (shift_left(opb) << 8)).astype(jnp.int32)
-                dir_ref[:, r, :] = t + (t_prev << 16)
-                t_prev = t
+                dir_ref[sv["z"], r, :] = t + (sv["tp"] << 16)
+                sv["tp"] = t
             else:
-                dir_ref[:, r, :] = opb.astype(jnp.uint8)
+                dir_ref[sv["z"], r, :] = opb.astype(jnp.uint8)
 
             # Deferred max tracking: per-lane last row attaining the
             # column max (>= update = last wins, matching row-major).
-            upd = (h >= best_h) & rvalid
-            best_h = jnp.where(upd, h, best_h)
-            best_i = jnp.where(upd, ip1, best_i)
-            pos_h = jnp.where(ip1 == rlen, h, pos_h)
+            upd = (h >= sv["bh"]) & rvalid
+            sv["bh"] = jnp.where(upd, h, sv["bh"])
+            sv["bi"] = jnp.where(upd, ip1, sv["bi"])
+            sv["ph"] = jnp.where(ip1 == sv["rlen"], h, sv["ph"])
 
-            m_prev, i_prev = m_new, i_new
-            prev3 = mx3
+            sv["m"], sv["i"] = m_new, i_new
+            sv["p3"] = mx3
 
-        m_s[:] = m_prev
-        i_s[:] = i_prev
+        for r in range(ROWS_PER_STEP):
+            for sv in streams:
+                row_update(sv, r)
+
+        def cat(key):
+            if interleave == 1:
+                return streams[0][key]
+            return jnp.concatenate([sv[key] for sv in streams], axis=0)
+
+        best_h, best_i, pos_h = cat("bh"), cat("bi"), cat("ph")
+        m_s[:] = cat("m")
+        i_s[:] = cat("i")
         bh_s[:] = best_h
         bi_s[:] = best_i
         ph_s[:] = pos_h
-        p3_s[:] = prev3
+        p3_s[:] = cat("p3")
         if packed:
-            tp_s[:] = t_prev
+            tp_s[:] = cat("tp")
 
         @pl.when(ib == n_row_blocks - 1)
         def _finalize():
@@ -238,13 +261,14 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 @functools.partial(
     jax.jit,
     static_argnames=("match", "mismatch", "gap_open", "gap_extend",
-                     "block_b", "interpret", "dir_format"))
+                     "block_b", "interpret", "dir_format", "interleave"))
 def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
                        ref_len: jnp.ndarray, query_len: jnp.ndarray,
                        *, match: int, mismatch: int, gap_open: int,
                        gap_extend: int, block_b: int = 128,
                        interpret: bool = False,
-                       dir_format: str = "bytes"):
+                       dir_format: str = "bytes",
+                       interleave: int = 1):
     """Same contract as align_tiles_jax; B must divide by block_b and
     T by 8 (the engine's tile geometry guarantees both).
 
@@ -260,6 +284,9 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
     assert B % BB == 0, (B, BB)
     assert T % ROWS_PER_STEP == 0, T
     assert dir_format in ("bytes", "packed"), dir_format
+    # Sub-blocks must stay sublane-aligned (8 int32 sublanes/vreg).
+    assert interleave == 1 or BB % (interleave * 8) == 0, \
+        (BB, interleave)
     packed = dir_format == "packed"
     TJP = _round_up(T + 1, 128)
     sdt_np, neg_inf = _score_dtype(T, match, mismatch, gap_open,
@@ -273,7 +300,7 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
 
     grid = (B // BB, T // ROWS_PER_STEP)
     kernel = _make_kernel(T, TJP, match, mismatch, gap_open, gap_extend,
-                          sdt_np, neg_inf, packed)
+                          sdt_np, neg_inf, packed, interleave)
     scratch = [
         pltpu.VMEM((BB, TJP), sdt_np),  # m
         pltpu.VMEM((BB, TJP), sdt_np),  # i

@@ -127,11 +127,11 @@ def pack_dir_words(dirm: jnp.ndarray) -> jnp.ndarray:
     return t + (t_up << 16)
 
 
-@functools.partial(jax.jit, static_argnames=("early_terminate",))
+@functools.partial(jax.jit, static_argnames=("early_terminate", "unroll"))
 def traceback_packed_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
                          query_len: jnp.ndarray, first: jnp.ndarray,
                          max_i: jnp.ndarray, max_j: jnp.ndarray,
-                         *, early_terminate: int):
+                         *, early_terminate: int, unroll: int = 1):
     """Bit-identical to traceback_jax, two walk steps per iteration.
 
     One int32 gather at (i-1, j-1) of the packed word matrix (see
@@ -140,11 +140,18 @@ def traceback_packed_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
     a fixed ~20us loop overhead plus one [B] gather — advances two
     steps instead of one.  Returns the same (ops, mbits, i_steps,
     j_steps) as traceback_jax.
+
+    unroll=U runs U gather+advance pairs per while_loop trip (2U walk
+    steps), amortizing the fixed per-trip overhead; the op layout is
+    unchanged (uniform advance), so outputs stay bit-identical for any
+    U.  The early-exit check runs every U pairs — finished lanes just
+    record zeros, exactly as in the U=1 loop.
     """
     B, T, C = words.shape
     ET = early_terminate
     S = 2 * ET - 1
-    SP = S + 1  # even slot count: each iteration records a pair
+    # Slot count rounded to the per-trip record width (2 per pair).
+    SP = -(-(S + 1) // (2 * unroll)) * (2 * unroll)
     dt = jnp.int32
     flat = words.reshape(B, T * C)
 
@@ -179,8 +186,9 @@ def traceback_packed_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
         pending = (pstate != 0) & (i_steps < ET) & (j_steps < ET)
         return (s + 1 < SP) & jnp.any(pending)
 
-    def step(carry):
-        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+    def gather_pair(pstate, pval, i, j, i_steps, j_steps):
+        """One gather, two walk steps; returns the two op records and
+        the advanced walker state."""
         w = gather_word(i, j)
         val = (w >> 8) & 0xFF          # current cell (i, j)
         state = resolve(pstate, pval, val)
@@ -217,13 +225,22 @@ def traceback_packed_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
         j2 = jnp.where(act_b, j1 - dj1, j1)
         i_steps2 = i_steps1 + jnp.where(act_b, di1, 0)
         j_steps2 = j_steps1 + jnp.where(act_b, dj1, 0)
-
-        pair = jnp.stack([rec_a, rec_b]).astype(jnp.uint8)
-        ops = jax.lax.dynamic_update_slice(ops, pair, (s, zero[0]))
-        # Next iteration resolves the state at (i2, j2) from the
+        # The next pair resolves the state at (i2, j2) from the
         # state/byte at (i1, j1); act_b=False lanes carry state1 whose
         # re-resolution is never observed (their act_a stays False).
-        return (s + 2, ops, state1, val1, i2, j2, i_steps2, j_steps2)
+        return (rec_a, rec_b), (state1, val1, i2, j2, i_steps2,
+                                j_steps2)
+
+    def step(carry):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+        recs = []
+        walker = (pstate, pval, i, j, i_steps, j_steps)
+        for _ in range(unroll):
+            (rec_a, rec_b), walker = gather_pair(*walker)
+            recs += [rec_a, rec_b]
+        group = jnp.stack(recs).astype(jnp.uint8)
+        ops = jax.lax.dynamic_update_slice(ops, group, (s, zero[0]))
+        return (s + 2 * unroll, ops) + walker
 
     # pstate=MATCH, pval=0 makes the first resolve() yield the start
     # cell's own op bits, exactly traceback_jax's state0 = val0 % 4.

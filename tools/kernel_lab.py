@@ -132,6 +132,40 @@ def main() -> None:
         print(f"byte full step: {dt/V*1e3:.2f} ms/step "
               f"({B*T*T*V/dt/1e9:.2f} GCUPS)")
 
+    if "tbunroll" in exps:
+        from darwin_tpu.ops.traceback import traceback_packed_jax
+
+        # Amortize the ~18.5us fixed while_loop cost over 2U steps.
+        for U in (1, 2, 4, 8):
+            def step_u(r, q, U=U):
+                out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                         dir_format="packed", **kw)
+                ops, _mb, i_s, j_s = traceback_packed_jax(
+                    out["dir_words"], rlen, qlen, firsts, out["max_i"],
+                    out["max_j"], early_terminate=ET, unroll=U)
+                return (ops.astype(jnp.int32).sum() + i_s.sum()
+                        + j_s.sum() + out["max_score"].sum())
+            dt, _ = bench(chain(step_u), refs_d, queries_d)
+            print(f"packed step tb-unroll={U}: {dt/V*1e3:.2f} ms/step "
+                  f"({B*T*T*V/dt/1e9:.2f} GCUPS)")
+
+    if "ilp" in exps:
+        # VPU latency-vs-throughput probe: interleave N independent
+        # batch sub-blocks inside the unrolled 8-row body so one
+        # stream's work can fill another's serial shift-max latency.
+        # If ms/step drops with interleave>1, the kernel was
+        # latency-bound and the BASELINE.md "ALU floor" is not a floor.
+        for il in (1, 2, 4):
+            def dp_il(r, q, il=il):
+                out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                         dir_format="packed",
+                                         interleave=il, **kw)
+                return (out["dir_words"][:, ::64, ::64].sum()
+                        + out["max_score"].sum())
+            dt, _ = bench(chain(dp_il), refs_d, queries_d)
+            print(f"packed dp interleave={il}: {dt/V*1e3:.2f} ms/step "
+                  f"({B*T*T*V/dt/1e9:.2f} GCUPS)")
+
     if "tbiters" in exps:
         # How many while_loop iterations does the walk actually run?
         out = align_tiles_pallas(refs_d[0], queries_d[0], rlen, qlen,
