@@ -85,6 +85,89 @@ def make_sharded_table(hashes: np.ndarray, pos: np.ndarray,
     return h_out, p_out
 
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class DenseShardIndex:
+    """Two-level per-shard hash index (make_sharded_dense_index).
+
+    A direct per-shard CSR over the raw hash sub-range — the obvious
+    port of the reference's index_table_ (seed_pos_table.cpp:73-94) —
+    blows up on minimizer tables: minimizer hashes are window MINIMA,
+    so their density falls with h and the count-aligned tail shard
+    spans ~3/4 of the whole 4^k space (measured: SPAN 155M of 268M at
+    k=14, 5 GB once padded across shards).  Instead each shard gets:
+
+    * hd [P, ND] uint32 — its DISTINCT hashes (runs of equal hashes
+      collapse, so repeat-heavy tables don't widen buckets);
+    * crs [P, ND+1] int32 — CSR of each distinct hash's pos-range;
+    * bkt [P, NB+1] int32 — bucket directory: first distinct-hash
+      index with (h - base) >> shift >= b, with a per-shard shift
+      sized so every shard fits the uniform NB buckets;
+    * base/shift [P] int32, and `steps` = the static number of
+      binary-refine iterations (= ceil log2 of the widest bucket).
+
+    Lookup = 2 directory gathers + `steps` refine gathers + 1 verify
+    gather, against ~2 x log2(Nm) searchsorted steps.  Memory is
+    O(entries), not O(hash-space).
+    """
+    hd: np.ndarray
+    crs: np.ndarray
+    bkt: np.ndarray
+    base: np.ndarray
+    shift: np.ndarray
+    steps: int
+
+
+def make_sharded_dense_index(h_shards: np.ndarray,
+                             bucket_factor: int = 4) -> DenseShardIndex:
+    """Build the two-level index for hash-aligned shards (host-side,
+    two passes, no device compile cost).  bucket_factor ~= buckets per
+    distinct hash; larger = fewer refine steps, more memory."""
+    P, _ = h_shards.shape
+    hds, crss, nds = [], [], []
+    bases = np.zeros(P, np.int64)
+    spans = np.ones(P, np.int64)
+    for s in range(P):
+        hs = h_shards[s]
+        n = int((hs != _SENTINEL_HASH).sum())
+        if n:
+            vals, starts = np.unique(hs[:n], return_index=True)
+            crs = np.concatenate([starts, [n]]).astype(np.int32)
+            bases[s] = int(vals[0])
+            spans[s] = int(vals[-1]) - bases[s] + 1
+        else:
+            vals = np.zeros(0, np.uint32)
+            crs = np.zeros(1, np.int32)
+        hds.append(vals)
+        crss.append(crs)
+        nds.append(len(vals))
+    ND = max(max(nds), 1)
+    NB = max(1, bucket_factor * ND)
+    hd = np.full((P, ND), _SENTINEL_HASH, dtype=np.uint32)
+    crs_out = np.zeros((P, ND + 1), np.int32)
+    bkt = np.zeros((P, NB + 1), np.int32)
+    shifts = np.zeros(P, np.int64)
+    max_width = 1
+    for s in range(P):
+        nd = nds[s]
+        hd[s, :nd] = hds[s]
+        crs_out[s, : nd + 1] = crss[s]
+        crs_out[s, nd + 1:] = crss[s][-1] if nd else 0
+        shift = 0
+        while ((spans[s] - 1) >> shift) >= NB:  # max bucket id <= NB-1
+            shift += 1
+        shifts[s] = shift
+        rel_b = (hds[s].astype(np.int64) - bases[s]) >> shift
+        bkt[s] = np.searchsorted(rel_b, np.arange(NB + 1))
+        if nd:
+            max_width = max(max_width, int(np.diff(bkt[s]).max()))
+    steps = max(1, int(np.ceil(np.log2(max_width + 1))))
+    return DenseShardIndex(hd, crs_out, bkt, bases.astype(np.int32),
+                           shifts.astype(np.int32), steps)
+
+
 def _forward_fill_max(x):
     return jax.lax.associative_scan(jnp.maximum, x)
 
@@ -95,9 +178,12 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
                                threshold: int, max_candidates: int,
                                tup_max: int, cand_max: int,
                                n_shards: int,
-                               a2a_cap: int | None = None):
+                               a2a_cap: int | None = None,
+                               dindex=None, dsteps: int = 0):
     """Per-device body (inside shard_map).  queries [R, L] replicated;
-    th/tp [1, Nm] = this device's table shard."""
+    th/tp [1, Nm] = this device's table shard; dindex (optional) =
+    this device's (hd, crs, bkt, base, shift) two-level index slices
+    (make_sharded_dense_index) with dsteps refine iterations."""
     R, L = queries.shape
     LP = L + 16
     R_local = R // n_shards
@@ -116,10 +202,42 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
                     in_axes=(0, 0))
     emit, mpos, mhash = scan(codes, qlens.astype(jnp.int32))  # [R, LP]
 
-    start_l = jnp.searchsorted(th, mhash.reshape(-1),
-                               side="left").reshape(R, LP)
-    end_l = jnp.searchsorted(th, mhash.reshape(-1),
-                             side="right").reshape(R, LP)
+    if dindex is not None:
+        # Two-level lookup (see DenseShardIndex): bucket directory
+        # gathers narrow the search to <= 2^dsteps distinct hashes,
+        # then a fixed-step binary refine + one verify gather resolve
+        # the exact pos-range — a handful of gathers per minimizer
+        # instead of two ~log2(Nm)-step binary searches (the dominant
+        # lookup cost in the stage measurements).  Hashes absent from
+        # this shard resolve to occ 0.
+        hd1, crs1, bkt1, hbase, hshift = (a[0] for a in dindex)
+        ND = hd1.shape[0]
+        NB = bkt1.shape[0] - 1
+        hv = mhash.reshape(-1)                       # uint32
+        rel = hv.astype(jnp.int32) - hbase
+        b = jax.lax.shift_right_logical(jnp.maximum(rel, 0), hshift)
+        bvalid = (rel >= 0) & (b < NB)
+        bc = jnp.minimum(b, NB - 1)
+        lo = jnp.take(bkt1, bc)
+        hi = jnp.take(bkt1, bc + 1)
+        for _ in range(dsteps):
+            act = lo < hi
+            mid = (lo + hi) >> 1
+            v = jnp.take(hd1, jnp.clip(mid, 0, ND - 1))
+            less = v < hv
+            lo = jnp.where(act & less, mid + 1, lo)
+            hi = jnp.where(act & ~less, mid, hi)
+        d = jnp.minimum(lo, ND - 1)
+        found = bvalid & (lo < ND) & (jnp.take(hd1, d) == hv)
+        s0 = jnp.take(crs1, d)
+        e0 = jnp.take(crs1, d + 1)
+        start_l = jnp.where(found, s0, 0).reshape(R, LP)
+        end_l = jnp.where(found, e0, 0).reshape(R, LP)
+    else:
+        start_l = jnp.searchsorted(th, mhash.reshape(-1),
+                                   side="left").reshape(R, LP)
+        end_l = jnp.searchsorted(th, mhash.reshape(-1),
+                                 side="right").reshape(R, LP)
     occ_l = (end_l - start_l).astype(jnp.int32)
     occ_g = jax.lax.psum(jnp.where(emit, occ_l, 0), axis)
 
@@ -256,17 +374,23 @@ def dsoft_table_sharded_fn(mesh, *, k: int, w: int, bin_size: int,
                            kmer_max_occ: int, num_seeds_cap: int,
                            threshold: int, max_candidates: int,
                            tup_max: int = 8192, cand_max: int = 512,
-                           a2a_cap: int | None = None):
+                           a2a_cap: int | None = None,
+                           index: str = "searchsorted",
+                           dense_steps: int = 0):
     """shard_map'd table-sharded D-SOFT.
 
     Returned fn(queries [R, L] uint8, qlens [R], hash_shards [P, Nm],
     pos_shards [P, Nm]) -> (hits [R, cand_max], offs, counts, overflow);
-    R must be a multiple of the mesh size.
+    R must be a multiple of the mesh size.  With index="dense" the fn
+    takes five extra trailing args (hd, crs, bkt, base, shift) from a
+    DenseShardIndex (whose .steps goes in dense_steps) and replaces
+    the per-minimizer binary searches with the two-level probe.
     """
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
     n_shards = mesh.devices.size
+    assert index in ("searchsorted", "dense"), index
 
     local = functools.partial(
         _dsoft_table_sharded_local, axis=axis, k=k, w=w,
@@ -275,9 +399,20 @@ def dsoft_table_sharded_fn(mesh, *, k: int, w: int, bin_size: int,
         max_candidates=max_candidates, tup_max=tup_max,
         cand_max=cand_max, n_shards=n_shards, a2a_cap=a2a_cap)
 
+    in_specs = [P(None, None), P(None), P(axis, None), P(axis, None)]
+    if index == "dense":
+        def local_d(queries, qlens, th, tp, hd, crs, bkt, base, shift):
+            return local(queries, qlens, th, tp,
+                         dindex=(hd, crs, bkt, base, shift),
+                         dsteps=dense_steps)
+        body = local_d
+        in_specs += [P(axis, None), P(axis, None), P(axis, None),
+                     P(axis), P(axis)]
+    else:
+        body = local
     fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, None), P(None), P(axis, None), P(axis, None)),
+        body, mesh=mesh,
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(fn)

@@ -9,6 +9,7 @@ import pytest
 
 from darwin_tpu.dsoft.device import pad_reads
 from darwin_tpu.dsoft.sharded_table import (dsoft_table_sharded_fn,
+                                            make_sharded_dense_index,
                                             make_sharded_table)
 from darwin_tpu.engine.seqbank import SeqBank
 from darwin_tpu.golden.dsoft import GoldenSeedTable, dsoft_scalar
@@ -91,6 +92,83 @@ def test_sharded_table_overflow_flagged():
     gt, reads = _fixture(47, repetitive=True, err=0.02)
     hits, offs, counts, over = _run(gt, reads, threshold=10, tup_max=64)
     assert over.any()
+
+
+@pytest.mark.parametrize("seed,threshold,repetitive",
+                         [(17, 15, False), (23, 10, False),
+                          (31, 12, True)])
+def test_sharded_table_dense_index_matches_golden(seed, threshold,
+                                                  repetitive):
+    """index="dense" (per-shard sub-range CSR gathers) must be
+    record-identical to the searchsorted path and to the golden spec."""
+    gt, reads = _fixture(seed, repetitive=repetitive,
+                         err=0.05 if repetitive else 0.12)
+    mesh = make_mesh(8)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    di = make_sharded_dense_index(hs)
+    tup_max = 16384 if repetitive else 4096
+    cand_max = 512 if repetitive else 128
+    fn = dsoft_table_sharded_fn(
+        mesh, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=800,
+        threshold=threshold, max_candidates=10**6, tup_max=tup_max,
+        cand_max=cand_max, index="dense", dense_steps=di.steps)
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    out = jax.device_get(fn(Q, lens, hs, ps, di.hd, di.crs, di.bkt,
+                            di.base, di.shift))
+    _check(gt, reads, out, threshold)
+
+
+def test_sharded_dense_index_structure():
+    """The two-level index must reproduce the searchsorted pos-range
+    for every table hash (via a host replay of the device probe), and
+    report zero occurrence for absent hashes."""
+    gt, _ = _fixture(53, n_reads=1)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    di = make_sharded_dense_index(hs)
+    ND = di.hd.shape[1]
+    NB = di.bkt.shape[1] - 1
+
+    def probe(s, h):
+        rel = int(h) - int(di.base[s])
+        if rel < 0:
+            return 0, 0
+        b = rel >> int(di.shift[s])
+        if b >= NB:
+            return 0, 0
+        lo, hi = int(di.bkt[s, b]), int(di.bkt[s, b + 1])
+        for _ in range(di.steps):
+            if lo < hi:
+                mid = (lo + hi) // 2
+                if di.hd[s, mid] < h:
+                    lo = mid + 1
+                else:
+                    hi = mid
+        assert lo == hi, "refine budget too small"
+        if lo >= ND or di.hd[s, lo] != h:
+            return 0, 0
+        return int(di.crs[s, lo]), int(di.crs[s, lo + 1])
+
+    for s in range(8):
+        real = hs[s][hs[s] != 0xFFFFFFFF]
+        n = len(real)
+        for h in list(real[:50]) + [real[n // 2], real[-1]]:
+            start, end = probe(s, int(h))
+            assert start == np.searchsorted(real, h, side="left")
+            assert end == np.searchsorted(real, h, side="right")
+        # A hash between two entries (absent) must read occ 0.
+        gaps = np.flatnonzero(np.diff(real.astype(np.int64)) > 1)
+        if len(gaps):
+            g = int(real[gaps[0]]) + 1
+            s0, e0 = probe(s, g)
+            assert s0 == e0
+        # Another shard's hashes must read occ 0 here.
+        other = hs[(s + 1) % 8]
+        other = other[other != 0xFFFFFFFF]
+        if len(other):
+            s0, e0 = probe(s, int(other[0]))
+            assert s0 == e0
 
 
 def test_make_sharded_table_hash_aligned():
