@@ -150,7 +150,30 @@ def main(argv: list[str] | None = None) -> int:
               f"({metrics['read_load_ms']:.0f} ms)")
 
     t0 = time.time()
-    if args.seed_table and Path(args.seed_table).exists():
+    dist_table = False
+    if args.distributed and args.seed_table:
+        from darwin_tpu.parallel import distributed as dist
+        dist_table = dist.process_count() > 1
+    if dist_table:
+        # Multi-host table amortization: process 0 builds (or reuses)
+        # the table on shared storage, peers wait at the barrier and
+        # load — the duplicated global work per peer drops from a full
+        # build to one file read (tools/scaling_run.py measures it).
+        table = None
+        if dist.process_index() == 0 \
+                and not Path(args.seed_table).exists():
+            table = SeedTable.build(genome.concat, params.seed_size,
+                                    params.seed_occurence_multiple,
+                                    params.bin_size, params.window_size)
+            table.save(args.seed_table)
+        dist.barrier("seed-table")
+        if table is None:
+            table = SeedTable.load(args.seed_table)
+        metrics["seed_table_ms"] = (time.time() - t0) * 1e3
+        print(f"Seed table ready (coordinator-built, "
+              f"{len(table.pos)} minimizers, "
+              f"{metrics['seed_table_ms']:.0f} ms)")
+    elif args.seed_table and Path(args.seed_table).exists():
         table = SeedTable.load(args.seed_table)
         metrics["seed_table_ms"] = (time.time() - t0) * 1e3
         print(f"Seed table loaded from {args.seed_table} "

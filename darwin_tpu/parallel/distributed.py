@@ -101,35 +101,37 @@ def read_range(num_reads: int, index: int | None = None,
 def allgather_records(records: list[str]) -> list[str]:
     """Deterministic sorted-unique union of records across processes.
 
-    Single-process: plain `sorted(set(...))`.  Multi-process: records
-    are padded to a fixed-width uint8 tensor (process_allgather needs
-    equal shapes), all-gathered over DCN/ICI, decoded, and reduced with
-    the same `sorted(set(...))` — byte-identical on every host, and to
-    the reference's offline `sort | uniq` merge.
+    Single-process: plain `sorted(set(...))`.  Multi-process: each
+    process newline-joins its records into ONE byte blob, blobs are
+    padded to the global max blob size (process_allgather needs equal
+    shapes), all-gathered over DCN/ICI, split, and reduced with the
+    same `sorted(set(...))` — byte-identical on every host, and to the
+    reference's offline `sort | uniq` merge.
+
+    Memory bound: O(P x max total record bytes on one process) — the
+    padding is one-dimensional (to the largest blob), not the earlier
+    n_max x len_max rectangle, so skewed record counts or one long
+    record no longer inflate every process's buffer quadratically.
     """
     if process_count() == 1:
         return sorted(set(records))
 
     from jax.experimental import multihost_utils
 
-    # Equalize shapes: global max count and max record length.
-    local_max_len = max((len(r.encode()) for r in records), default=0)
-    dims = multihost_utils.process_allgather(
-        np.array([len(records), local_max_len], dtype=np.int64))
-    n_max = int(dims[:, 0].max())
-    len_max = max(1, int(dims[:, 1].max()))
+    blob = "\n".join(records).encode()
+    sizes = multihost_utils.process_allgather(
+        np.array([len(blob)], dtype=np.int64))      # [P, 1]
+    b_max = max(1, int(sizes.max()))
 
-    buf = np.zeros((n_max, len_max), dtype=np.uint8)
-    for i, r in enumerate(records):
-        b = r.encode()
-        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(buf)  # [P, n_max, L]
+    buf = np.zeros(b_max, dtype=np.uint8)
+    buf[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # [P, b_max]
 
     out: set[str] = set()
-    for row in gathered.reshape(-1, len_max):
-        n = int((row != 0).sum())  # records never contain NUL
+    for p, row in enumerate(np.asarray(gathered).reshape(-1, b_max)):
+        n = int(sizes.reshape(-1)[p])
         if n:
-            out.add(row[:n].tobytes().decode())
+            out.update(row[:n].tobytes().decode().split("\n"))
     return sorted(out)
 
 

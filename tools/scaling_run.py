@@ -35,7 +35,7 @@ import numpy as np  # noqa: E402
 
 
 def run_cli(work: Path, fasta: Path, tag: str, nprocs: int,
-            extra_env=None) -> dict:
+            extra_env=None, extra_args=None) -> dict:
     """Run the CLI (nprocs processes); returns wall + metrics dicts."""
     outdir = work / tag
     outdir.mkdir(parents=True, exist_ok=True)
@@ -55,6 +55,8 @@ def run_cli(work: Path, fasta: Path, tag: str, nprocs: int,
                "--out-dir", str(outdir),
                "--metrics-json", str(outdir / f"metrics.{pid}.json"),
                "--merged-out", str(outdir / f"merged.{pid}.out")]
+        if extra_args:
+            cmd += list(extra_args)
         if nprocs > 1:
             cmd.append("--distributed")
         procs.append(subprocess.Popen(cmd, cwd=outdir,
@@ -99,17 +101,34 @@ def main(argv=None) -> int:
 
     one = run_cli(work, fasta, "p1", 1)
     many = run_cli(work, fasta, f"p{args.procs}", args.procs)
+    # Same job with coordinator-built seed table on shared storage:
+    # peers barrier + load instead of rebuilding (cli.py dist_table).
+    table = work / "table.npz"
+    if table.exists():
+        table.unlink()
+    amort = run_cli(work, fasta, f"p{args.procs}a", args.procs,
+                    extra_args=["--seed-table", str(table)])
 
     assert sorted(set(one["merged"])) == one["merged"]
-    if one["merged"] != many["merged"]:
-        print("PARITY: FAILED between 1-proc and N-proc merges")
-        return 1
-    print(f"PARITY: EXACT ({len(one['merged'])} records)")
+    for other, tag in ((many, "N-proc"), (amort, "N-proc amortized")):
+        if one["merged"] != other["merged"]:
+            print(f"PARITY: FAILED between 1-proc and {tag} merges")
+            return 1
+    print(f"PARITY: EXACT ({len(one['merged'])} records, "
+          f"incl. --seed-table amortized run)")
 
     m1 = one["metrics"][0]
     align1 = m1["seed_ms"] + m1["gact_ms"]
-    dup = np.mean([m["ref_load_ms"] + m["read_load_ms"]
-                   + m["seed_table_ms"] for m in many["metrics"]])
+
+    def dup_of(run):
+        return np.mean([m["ref_load_ms"] + m["read_load_ms"]
+                        + m["seed_table_ms"] for m in run["metrics"]])
+
+    dup = dup_of(many)
+    dup_a = dup_of(amort)
+    peer_table = np.mean([m["seed_table_ms"]
+                          for m in amort["metrics"][1:]]) \
+        if args.procs > 1 else 0.0
     alignN = max(m["seed_ms"] + m["gact_ms"] for m in many["metrics"])
     r1 = args.reads / one["wall"]
     rN = args.reads / many["wall"]
@@ -118,13 +137,19 @@ def main(argv=None) -> int:
     print(f"{args.procs} procs: wall {many['wall']:.1f} s = "
           f"{rN:.2f} reads/s (slowest align {alignN/1e3:.1f} s, "
           f"duplicated global work {dup/1e3:.2f} s/proc)")
+    print(f"{args.procs} procs + --seed-table: duplicated global work "
+          f"{dup_a/1e3:.2f} s/proc (peer table wait+load "
+          f"{peer_table/1e3:.2f} s vs build "
+          f"{m1['seed_table_ms']/1e3:.2f} s)")
     eff = rN / (r1 * args.procs)
     print(f"wall-clock efficiency: {eff:.2f} "
           f"(1/N-bound on this {os.cpu_count()}-core machine)")
     # Structural model for machines with >= procs free cores:
     model = align1 / (align1 / args.procs + dup)
+    model_a = align1 / (align1 / args.procs + dup_a)
     print(f"projected efficiency with {args.procs} real cores/hosts: "
-          f"{model / args.procs:.2f} "
+          f"{model / args.procs:.2f} rebuild / "
+          f"{model_a / args.procs:.2f} amortized "
           f"(align/N + duplicated-global-work model)")
     return 0
 
