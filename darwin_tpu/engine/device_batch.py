@@ -70,6 +70,12 @@ class _Static:
     compute_score: bool
     backend: str
     block_b: int
+    # Two-tier drain: when > 0, the while_loop stops early once every
+    # call has been issued (next_ci == n_calls) and fewer than `drain`
+    # slots remain active; the host re-dispatches the unfinished calls
+    # into a smaller-B engine (DeviceGactEngine.finish), so the tail
+    # iterations stop paying full-batch DP cost.  0 = run to the end.
+    drain: int = 0
 
 
 def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
@@ -141,24 +147,37 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
     def engine(n_calls, gconcat, qflat,
                rid, qid, comp, g_row, g_rem, grv_row, grv_rem, g_len,
                q_row, q_rem, qrv_row, qrv_rem, q_len,
-               rpos0, qpos0):
-        # Call state (index Ncap = dump lane).
+               cstate):
+        # Call state (index Ncap = dump lane).  cstate is the
+        # [Ncap, 16] int32 per-call state matrix (column layout
+        # CSTATE_COLS): fresh batches pass anchors + defaults, the
+        # two-tier drain passes a previous dispatch's exported state.
         def padded(x, fill=0):
             return jnp.concatenate(
                 [x, jnp.full((1,), fill, x.dtype)])
 
-        rpos = padded(rpos0)
-        qpos = padded(qpos0)
-        rbpos = padded(rpos0)
-        qbpos = padded(qpos0)
-        first = padded(jnp.ones(Ncap, bool))
-        reverse = padded(jnp.ones(Ncap, bool))
-        prev_gap = padded(jnp.zeros(Ncap, bool))
-        score = padded(jnp.zeros(Ncap, I32))
-        hp0 = padded(jnp.zeros(Ncap, bool))
-        hp1 = padded(jnp.zeros(Ncap, bool))
-        fg0 = padded(jnp.zeros(Ncap, bool))
-        fg1 = padded(jnp.zeros(Ncap, bool))
+        def coli(i):
+            return padded(cstate[:, i])
+
+        def colb(i):
+            return padded(cstate[:, i] != 0)
+
+        rpos = coli(0)
+        qpos = coli(1)
+        rbpos = coli(2)
+        qbpos = coli(3)
+        first = colb(4)
+        reverse = colb(5)
+        prev_gap = colb(6)
+        termp = colb(7)
+        donep = colb(8)
+        score = coli(9)
+        nmat = coli(10)
+        ncol = coli(11)
+        hp0 = colb(12)
+        hp1 = colb(13)
+        fg0 = colb(14)
+        fg1 = colb(15)
 
         ridp = padded(rid)
         qidp = padded(qid)
@@ -177,24 +196,30 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
 
         slot_iota = jnp.arange(B, dtype=I32)
         assign = jnp.where(slot_iota < n_calls, slot_iota, -1)
-        term = jnp.zeros(B, bool)
 
         records = jnp.full((Ncap + 1, 10), -1, I32)
-        nmat = padded(jnp.zeros(Ncap, I32))
-        ncol = padded(jnp.zeros(Ncap, I32))
         state = (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
-                 score, nmat, ncol, hp0, hp1, fg0, fg1, assign, term,
+                 score, nmat, ncol, hp0, hp1, fg0, fg1, assign, termp,
+                 donep,
                  jnp.minimum(jnp.asarray(B, I32), n_calls),
-                 jnp.asarray(0, I32), jnp.asarray(0, I32), records)
+                 jnp.asarray(0, I32), jnp.asarray(0, I32), records,
+                 jnp.minimum(jnp.asarray(B, I32), n_calls),  # n_active
+                 jnp.asarray(0, I32), jnp.asarray(0, I32))   # iters/act
 
         def cond(state):
-            calls_done = state[17]
-            return calls_done < n_calls
+            calls_done, next_ci = state[18], state[17]
+            go = calls_done < n_calls
+            if st.drain:
+                n_active = state[21]
+                go = go & ~((next_ci >= n_calls)
+                            & (n_active < st.drain))
+            return go
 
         def body(state):
             (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap, score,
-             nmat, ncol, hp0, hp1, fg0, fg1, assign, term, next_ci,
-             calls_done, nrec, records) = state
+             nmat, ncol, hp0, hp1, fg0, fg1, assign, termp, donep,
+             next_ci, calls_done, nrec, records, n_active, iters,
+             act_sum) = state
 
             # ---- prepare (gact.cpp:298-410) -------------------------
             act = assign >= 0
@@ -203,7 +228,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
 
             # Phase swap: reverse extension finished.
             swap = act & c_rev & ((rpos[ci] <= 0) | (qpos[ci] <= 0)
-                                  | term)
+                                  | termp[ci])
             old_rpos, old_rbpos = rpos[ci], rbpos[ci]
             old_qpos, old_qbpos = qpos[ci], qbpos[ci]
             rpos = scatter(rpos, ci, old_rbpos, swap)
@@ -212,12 +237,13 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
             qbpos = scatter(qbpos, ci, old_qpos, swap)
             reverse = scatter(reverse, ci, jnp.zeros(B, bool), swap)
             prev_gap = scatter(prev_gap, ci, jnp.zeros(B, bool), swap)
-            term = jnp.where(swap, False, term)
+            termp = scatter(termp, ci, jnp.zeros(B, bool), swap)
 
             # Emission: forward extension finished (checked on the
             # pre-swap reverse flag, like the reference's if/else).
             fwd_done = act & ~c_rev & (
-                (rpos[ci] >= glp[ci]) | (qpos[ci] >= qlp[ci]) | term)
+                (rpos[ci] >= glp[ci]) | (qpos[ci] >= qlp[ci])
+                | termp[ci])
             corr = hp0[ci] & hp1[ci] & fg0[ci] & fg1[ci]
             fscore = score[ci] + jnp.where(
                 corr, st.gap_extend - st.gap_open, 0)
@@ -236,6 +262,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                 jnp.where(keep, nrec + krank, Ncap)].set(rows)
             nrec = nrec + keep.sum(dtype=I32)
             calls_done = calls_done + fwd_done.sum(dtype=I32)
+            donep = scatter(donep, ci, jnp.ones(B, bool), fwd_done)
 
             # Slot refill.
             erank = jnp.cumsum(fwd_done.astype(I32)) - fwd_done
@@ -245,7 +272,6 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                                jnp.where(got_new, new_ci, -1), assign)
             next_ci = jnp.minimum(
                 n_calls, next_ci + fwd_done.sum(dtype=I32))
-            term = jnp.where(fwd_done, False, term)
             # Fresh calls anchored at an edge skip the reverse phase.
             fci = jnp.where(got_new, new_ci, DUMP)
             fresh_skip = got_new & ((rpos[fci] <= 0) | (qpos[fci] <= 0))
@@ -372,15 +398,27 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                            upd_pos)
             qpos = scatter(qpos, ci2, jnp.where(apply, nq, qp_t),
                            upd_pos)
-            term = term | thr_fail | (
+            new_term = thr_fail | (
                 apply & ((i_steps == 0) | (j_steps == 0)))
+            termp = scatter(termp, ci2, termp[ci2] | new_term, act2)
 
             return (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
-                    score, nmat, ncol, hp0, hp1, fg0, fg1, assign, term,
-                    next_ci, calls_done, nrec, records)
+                    score, nmat, ncol, hp0, hp1, fg0, fg1, assign,
+                    termp, donep, next_ci, calls_done, nrec, records,
+                    act2.sum(dtype=I32), iters + 1,
+                    act_sum + act2.sum(dtype=I32))
 
         state = jax.lax.while_loop(cond, body, state)
-        return state[19][:Ncap], state[18]
+        (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap, score,
+         nmat, ncol, hp0, hp1, fg0, fg1, assign, termp, donep,
+         next_ci, calls_done, nrec, records, n_active, iters,
+         act_sum) = state
+        state_out = jnp.stack(
+            [a[:Ncap].astype(I32) for a in
+             (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
+              termp, donep, score, nmat, ncol, hp0, hp1, fg0, fg1)],
+            axis=1)
+        return records[:Ncap], nrec, state_out, iters, act_sum
 
     return jax.jit(engine)
 
@@ -478,6 +516,65 @@ class DeviceGactEngine:
     def run(self, calls: GactCalls, complement) -> list[OverlapRecord]:
         return self.finish(self.run_async(calls, complement))
 
+    @staticmethod
+    def _fresh_state(ref_pos, query_pos) -> np.ndarray:
+        """[N, 16] per-call state matrix for fresh anchors (CSTATE
+        column layout: rpos, qpos, rbpos, qbpos, first, reverse,
+        prev_gap, term, done, score, nmat, ncol, hp0, hp1, fg0, fg1)."""
+        N = len(ref_pos)
+        cs = np.zeros((N, 16), np.int32)
+        cs[:, 0] = cs[:, 2] = ref_pos
+        cs[:, 1] = cs[:, 3] = query_pos
+        cs[:, 4] = 1  # first
+        cs[:, 5] = 1  # reverse phase
+        return cs
+
+    def _dispatch(self, rid, qid, bid, comp, cstate, drain_on: bool):
+        """Dispatch N calls (metadata arrays + [N, 16] state matrix)."""
+        N = len(rid)
+        Ncap = _bucket(N)
+        # Shrink the slot count to the workload: iterations are bounded
+        # by max-tiles-per-call, so surplus slots only add per-iteration
+        # cost (measured 2x end-to-end on a 122-call batch, 512 -> 128).
+        # Half-octave buckets cap idle-slot waste at 33%.
+        from darwin_tpu.utils import bucket_steps
+        B_eff = min(self._static.B, bucket_steps(N, 64))
+        bb = min(self._static.block_b, B_eff)
+        B_eff = -(-B_eff // bb) * bb
+        # Two-tier drain: only worthwhile when the batch refills slots
+        # (N > B) and the batch is big enough that tail iterations are
+        # expensive; the drain dispatch itself runs to completion.
+        drain = (B_eff // 4
+                 if drain_on and N > B_eff and B_eff >= 256 else 0)
+        st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff,
+                                 drain=drain)
+        key = (dataclasses.astuple(st), self._use_fetch,
+               self._gconcat.shape, self._qflat.shape)
+        fn = _ENGINE_FN_CACHE.get(key)
+        if fn is None:
+            fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(
+                st, self._use_fetch, self._GP_G, self._GP_Q)
+
+        def pad(x, fill=0):
+            return np.concatenate(
+                [x.astype(np.int32),
+                 np.full(Ncap - N, fill, np.int32)])
+
+        g4 = self._split_offsets(self._g_start_all[rid], self._GP_G)
+        q4 = self._split_offsets(self.queries.starts[bid], self._GP_Q)
+        cpad = np.concatenate(
+            [cstate.astype(np.int32),
+             np.zeros((Ncap - N, 16), np.int32)])
+        out = fn(
+            np.int32(N), self._gconcat, self._qflat,
+            pad(rid), pad(qid), pad(comp),
+            *[pad(x) for x in g4],
+            pad(self.genome.piece_lengths[rid].astype(np.int32)),
+            *[pad(x) for x in q4],
+            pad(self.queries.lengths[bid].astype(np.int32)),
+            cpad)
+        return out, drain
+
     def run_async(self, calls: GactCalls, complement, bank_ids=None):
         """Dispatch the whole batch; returns a handle for finish().
 
@@ -491,55 +588,19 @@ class DeviceGactEngine:
         """
         N = len(calls)
         if N == 0:
-            return (None, None)
-        Ncap = _bucket(N)
-        # Shrink the slot count to the workload: iterations are bounded
-        # by max-tiles-per-call, so surplus slots only add per-iteration
-        # cost (measured 2x end-to-end on a 122-call batch, 512 -> 128).
-        # Half-octave buckets cap idle-slot waste at 33%.
-        from darwin_tpu.utils import bucket_steps
-        B_eff = min(self._static.B, bucket_steps(N, 64))
-        bb = min(self._static.block_b, B_eff)
-        B_eff = -(-B_eff // bb) * bb
-        st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff)
-        key = (dataclasses.astuple(st), self._use_fetch,
-               self._gconcat.shape, self._qflat.shape)
-        fn = _ENGINE_FN_CACHE.get(key)
-        if fn is None:
-            fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(
-                st, self._use_fetch, self._GP_G, self._GP_Q)
-
-        def pad(x, fill=0):
-            return np.concatenate(
-                [x.astype(np.int32),
-                 np.full(Ncap - N, fill, np.int32)])
-
+            return None
         rid = calls.ref_id.astype(np.int64)
         qid = calls.query_id.astype(np.int64)
         bid = qid if bank_ids is None else np.asarray(bank_ids,
                                                      dtype=np.int64)
         comp = np.broadcast_to(
-            np.asarray(complement, dtype=np.int32), (N,))
-        g4 = self._split_offsets(self._g_start_all[rid], self._GP_G)
-        q4 = self._split_offsets(self.queries.starts[bid], self._GP_Q)
-        records_d, nrec_d = fn(
-            np.int32(N), self._gconcat, self._qflat,
-            pad(rid), pad(qid), pad(comp),
-            *[pad(x) for x in g4],
-            pad(self.genome.piece_lengths[rid].astype(np.int32)),
-            *[pad(x) for x in q4],
-            pad(self.queries.lengths[bid].astype(np.int32)),
-            pad(calls.ref_pos), pad(calls.query_pos))
-        return (records_d, nrec_d)
+            np.asarray(complement, dtype=np.int32), (N,)).copy()
+        cs = self._fresh_state(calls.ref_pos, calls.query_pos)
+        out, drain = self._dispatch(rid, qid, bid, comp, cs, True)
+        return (out, drain, (rid, qid, bid, comp))
 
     @staticmethod
-    def finish(handle) -> list[OverlapRecord]:
-        """Block on a run_async handle and decode its records."""
-        records_d, nrec_d = handle
-        if records_d is None:
-            return []
-        import jax
-        records, nrec = jax.device_get((records_d, nrec_d))
+    def _decode(records, nrec) -> list[OverlapRecord]:
         out = []
         for row in np.asarray(records[: int(nrec)]):
             out.append(OverlapRecord(
@@ -547,6 +608,34 @@ class DeviceGactEngine:
                 int(row[4]), int(row[5]), int(row[6]), bool(row[7]),
                 int(row[8]), int(row[9])))
         return out
+
+    def finish(self, handle) -> list[OverlapRecord]:
+        """Block on a run_async handle, decode records, and — when the
+        dispatch drain-stopped early — re-dispatch the unfinished calls
+        into a smaller-B engine resumed from the exported state."""
+        if handle is None:
+            return []
+        out, drain, meta = handle
+        records_d, nrec_d, state_d, iters_d, act_d = out
+        records, nrec = jax.device_get((records_d, nrec_d))
+        recs = self._decode(records, nrec)
+        self.last_iters, self.last_active_sum = (
+            int(jax.device_get(iters_d)), int(jax.device_get(act_d)))
+        while drain:
+            rid, qid, bid, comp = meta
+            state = np.asarray(jax.device_get(state_d))[: len(rid)]
+            undone = state[:, 8] == 0
+            if not undone.any():
+                break
+            idx = np.flatnonzero(undone)
+            meta = (rid[idx], qid[idx], bid[idx], comp[idx])
+            (records_d, nrec_d, state_d, it_d, ac_d), drain = \
+                self._dispatch(*meta, state[idx], False)
+            records, nrec = jax.device_get((records_d, nrec_d))
+            recs += self._decode(records, nrec)
+            self.last_iters += int(jax.device_get(it_d))
+            self.last_active_sum += int(jax.device_get(ac_d))
+        return recs
 
 
 def balance_calls(costs: np.ndarray, nd: int) -> list[np.ndarray]:
@@ -619,7 +708,8 @@ class ShardedGactEngine(DeviceGactEngine):
             axis = self.mesh.axis_names[0]
 
             def local(n_calls, gconcat, qflat, *arrs):
-                rec, nrec = base(n_calls[0], gconcat, qflat, *arrs)
+                rec, nrec, _state, _iters, _act = base(
+                    n_calls[0], gconcat, qflat, *arrs)
                 return rec, jnp.reshape(nrec, (1,))
 
             spec_c = P(axis)
@@ -627,7 +717,7 @@ class ShardedGactEngine(DeviceGactEngine):
                 local, mesh=self.mesh,
                 in_specs=(spec_c, P(*(None,) * self._gconcat.ndim),
                           P(*(None,) * self._qflat.ndim))
-                + (spec_c,) * 15,
+                + (spec_c,) * 13 + (P(axis, None),),
                 out_specs=(spec_c, spec_c), check_vma=False))
 
         rid = calls.ref_id.astype(np.int64)
@@ -657,6 +747,8 @@ class ShardedGactEngine(DeviceGactEngine):
             return src[np.minimum(slot_of, len(x))].astype(np.int32)
         g4 = self._split_offsets(self._g_start_all[rid], self._GP_G)
         q4 = self._split_offsets(self.queries.starts[bid], self._GP_Q)
+        cs = self._fresh_state(calls.ref_pos, calls.query_pos)
+        cs_pad = np.concatenate([cs, np.zeros((1, 16), np.int32)])
         records_d, nrec_d = fn(
             n_local, self._gconcat, self._qflat,
             pad(rid), pad(qid), pad(comp),
@@ -664,7 +756,7 @@ class ShardedGactEngine(DeviceGactEngine):
             pad(self.genome.piece_lengths[rid].astype(np.int32)),
             *[pad(x) for x in q4],
             pad(self.queries.lengths[bid].astype(np.int32)),
-            pad(calls.ref_pos), pad(calls.query_pos))
+            cs_pad[np.minimum(slot_of, N)])
         return ((records_d, nrec_d), None)
 
     @staticmethod

@@ -199,10 +199,10 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
                 # gather then yields the walker's current cell plus all
                 # three move targets (see traceback_packed_jax).
                 t = (opb + (shift_left(opb) << 8)).astype(jnp.int32)
-                dir_ref[sv["z"], r, :] = t + (sv["tp"] << 16)
+                row_out = t + (sv["tp"] << 16)
                 sv["tp"] = t
             else:
-                dir_ref[sv["z"], r, :] = opb.astype(jnp.uint8)
+                row_out = opb.astype(jnp.uint8)
 
             # Deferred max tracking: per-lane last row attaining the
             # column max (>= update = last wins, matching row-major).
@@ -213,10 +213,16 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
 
             sv["m"], sv["i"] = m_new, i_new
             sv["p3"] = mx3
+            return row_out
 
         for r in range(ROWS_PER_STEP):
-            for sv in streams:
-                row_update(sv, r)
+            # One full-width store per row: Mosaic rejects sub-block
+            # stores to the dir ref on hardware (sublane-sliced write
+            # to a block dim), so streams hand back their row slices
+            # and a single concat reassembles them.
+            rows = [row_update(sv, r) for sv in streams]
+            dir_ref[:, r, :] = (rows[0] if interleave == 1
+                                else jnp.concatenate(rows, axis=0))
 
         def cat(key):
             if interleave == 1:
