@@ -621,6 +621,7 @@ class DeviceGactEngine:
         recs = self._decode(records, nrec)
         self.last_iters, self.last_active_sum = (
             int(jax.device_get(iters_d)), int(jax.device_get(act_d)))
+        self.last_drain_redispatches = 0
         while drain:
             rid, qid, bid, comp = meta
             state = np.asarray(jax.device_get(state_d))[: len(rid)]
@@ -635,6 +636,7 @@ class DeviceGactEngine:
             recs += self._decode(records, nrec)
             self.last_iters += int(jax.device_get(it_d))
             self.last_active_sum += int(jax.device_get(ac_d))
+            self.last_drain_redispatches += 1
         return recs
 
 

@@ -83,6 +83,72 @@ def test_sharded_gact_engine_matches_single_device(data_dir):
     assert len(recs1) > 0
 
 
+def test_two_tier_drain_matches_host_engine():
+    """A batch big enough to trigger the drain (N > B_eff >= 256) must
+    produce the host engine's exact record set, and the drain must
+    actually fire (re-dispatch of stragglers into a smaller engine)."""
+    import numpy as np
+
+    from darwin_tpu.config import Params
+    from darwin_tpu.engine.aligner import JaxTileAligner
+    from darwin_tpu.engine.batch import GactCalls, run_gact_batch
+    from darwin_tpu.engine.device_batch import DeviceGactEngine
+    from darwin_tpu.engine.scoring import ScoreParams
+    from darwin_tpu.engine.seqbank import SeqBank
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.io.fasta import FastaRecord
+
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ref_seq = alpha[rng.integers(0, 4, size=8192)]
+    genome = Genome([FastaRecord(["g"], ref_seq.tobytes().decode())],
+                    64)
+    # Skewed read lengths so stragglers outlive the refill stream.
+    reads = []
+    for i in range(64):
+        L = 2000 if i % 16 == 0 else int(rng.integers(120, 400))
+        s = int(rng.integers(0, 8192 - L))
+        r = ref_seq[s:s + L].copy()
+        mut = rng.random(L) < 0.1
+        r[mut] = alpha[rng.integers(0, 4, size=int(mut.sum()))]
+        reads.append(r)
+    bank = SeqBank(reads)
+
+    N = 600
+    anchors = GactCalls(
+        ref_id=np.zeros(N, np.int64),
+        query_id=rng.integers(0, 64, N).astype(np.int64),
+        ref_pos=rng.integers(0, 8000, N).astype(np.int64),
+        query_pos=np.zeros(N, np.int64))
+    anchors.query_pos[:] = np.minimum(
+        bank.lengths[anchors.query_id] // 2, 100)
+
+    params = Params(tile_size=16, tile_overlap=8,
+                    first_tile_score_threshold=4)
+    kw = dict(tile_size=params.tile_size,
+              early_terminate=params.early_terminate,
+              match=1, mismatch=-1, gap_open=-1, gap_extend=-1)
+    eng = DeviceGactEngine(
+        genome, bank, first_tile_score_threshold=4, same_file=False,
+        batch_size=256, backend="lax", **kw)
+    recs_dev = eng.finish(eng.run_async(anchors, False))
+    assert eng.last_drain_redispatches >= 1, \
+        "drain did not fire; test workload no longer triggers it"
+
+    aligner = JaxTileAligner(backend="lax", **kw)
+    recs_host = run_gact_batch(
+        genome, bank, anchors, tile_size=params.tile_size,
+        first_tile_score_threshold=4,
+        sp=ScoreParams(1, -1, -1, -1), complement=False,
+        same_file=False, aligner=aligner, batch_size=256)
+
+    def key(rs):
+        return sorted((r.ref_id, r.query_id, r.ab, r.ae, r.bb, r.be,
+                       r.score, r.comp, r.nmatch, r.ncols) for r in rs)
+    assert len(recs_dev) > 0
+    assert key(recs_dev) == key(recs_host)
+
+
 def test_balance_calls_skewed_loads():
     """LPT assignment: skewed costs must spread within ~20% across
     devices while per-device counts stay at ceil(N/nd)."""
