@@ -43,7 +43,8 @@ from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
 from darwin_tpu.ops.tile_fetch import (ROW, build_combined_bank_device,
                                        fetch_tiles)
-from darwin_tpu.ops.traceback import (pack_dir_words,
+from darwin_tpu.ops.traceback import (pack_dir_words, pack_dir_words6,
+                                      traceback_packed6_jax,
                                       traceback_packed_jax)
 
 I32 = jnp.int32
@@ -76,6 +77,9 @@ class _Static:
     # into a smaller-B engine (DeviceGactEngine.finish), so the tail
     # iterations stop paying full-batch DP cost.  0 = run to the end.
     drain: int = 0
+    # Traceback word format: "packed" (2 steps/gather) or "packed6"
+    # (5-bit fields, 2-4 steps/gather on match runs).
+    tbfmt: str = "packed"
 
 
 def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
@@ -84,12 +88,16 @@ def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
     if st.backend == "pallas":
         out = align_tiles_pallas(ref_t, query_t, rlen, qlen,
                                  block_b=min(st.block_b, st.B),
-                                 dir_format="packed", **kw)
+                                 dir_format=st.tbfmt, **kw)
         words = out["dir_words"]
     else:
         out = align_tiles_jax(ref_t, query_t, rlen, qlen, **kw)
-        words = pack_dir_words(out["dir"])
-    ops, mbits, i_steps, j_steps = traceback_packed_jax(
+        pack = (pack_dir_words6 if st.tbfmt == "packed6"
+                else pack_dir_words)
+        words = pack(out["dir"])
+    walker = (traceback_packed6_jax if st.tbfmt == "packed6"
+              else traceback_packed_jax)
+    ops, mbits, i_steps, j_steps = walker(
         words, rlen, qlen, first_b, out["max_i"], out["max_j"],
         early_terminate=st.ET)
     score = jnp.where(first_b, out["max_score"], out["pos_score"])
@@ -112,8 +120,18 @@ def _score_ops(st: _Static, opsT, mbitsT, prev_gap):
 
     m_contrib = jnp.where(mbitsT, st.match, st.mismatch)
 
-    prev_col_gap = jnp.concatenate(
-        [prev_gap[:, None], is_gap[:, :-1]], axis=1)
+    # Previous-op gap flag with hole skipping (packed6 walker leaves
+    # up to two zero slots per 4-slot group; see engine/scoring.py).
+    B2, S2 = opsT.shape
+    pg = prev_gap[:, None]
+    gpad = jnp.concatenate(
+        [jnp.broadcast_to(pg, (B2, 3)), is_gap], axis=1)
+    vpad = jnp.concatenate(
+        [jnp.ones((B2, 3), bool), valid], axis=1)
+    prev_col_gap = jnp.where(
+        vpad[:, 2: 2 + S2], gpad[:, 2: 2 + S2],
+        jnp.where(vpad[:, 1: 1 + S2], gpad[:, 1: 1 + S2],
+                  gpad[:, 0: S2]))
     gap_contrib = jnp.where(prev_col_gap, st.gap_extend, st.gap_open)
 
     delta = jnp.sum(jnp.where(is_m, m_contrib, gap_contrib) * valid,
@@ -433,7 +451,7 @@ class DeviceGactEngine:
                  mismatch: int, gap_open: int, gap_extend: int,
                  same_file: bool, batch_size: int = 256,
                  compute_score: bool = True, backend: str = "auto",
-                 block_b: int = 128):
+                 block_b: int = 128, tb_format: str = "packed"):
         if backend == "auto":
             from darwin_tpu.engine.aligner import default_backend
             backend = default_backend()
@@ -447,7 +465,7 @@ class DeviceGactEngine:
             match=match, mismatch=mismatch, gap_open=gap_open,
             gap_extend=gap_extend, threshold=first_tile_score_threshold,
             same_file=same_file, compute_score=compute_score,
-            backend=backend, block_b=block_b)
+            backend=backend, block_b=block_b, tbfmt=tb_format)
         # Pad banks to power-of-two buckets so compiled engines are
         # reusable across datasets of similar size (gathers/fetches are
         # clipped and masked, so padding bytes are never observed).

@@ -82,8 +82,19 @@ def score_ops_batch(ops: np.ndarray, ref_chars_at, query_chars_at,
     qc = query_chars_at(np.clip(query_idx, 0, None))
     m_contrib = np.where(rc == qc, sp.match, sp.mismatch)
 
-    prev_col_gap = np.concatenate(
-        [prev_gap[:, None], is_gap[:, :-1]], axis=1)
+    # Previous-op gap flag with hole skipping: the packed6 walker
+    # (ops/traceback.py) records 4-slot groups where a lane may leave
+    # up to two trailing zero slots, so the previous op of a column can
+    # sit 1-3 slots back.  Lookback picks the nearest VALID column;
+    # columns before the stream read the prev_gap carry.  For hole-free
+    # streams this reduces exactly to the adjacent-column rule.
+    pg = prev_gap[:, None]
+    gpad = np.concatenate([np.broadcast_to(pg, (B, 3)), is_gap], axis=1)
+    vpad = np.concatenate([np.ones((B, 3), bool), valid], axis=1)
+    g1, v1 = gpad[:, 2: 2 + S], vpad[:, 2: 2 + S]
+    g2, v2 = gpad[:, 1: 1 + S], vpad[:, 1: 1 + S]
+    g3 = gpad[:, 0: S]
+    prev_col_gap = np.where(v1, g1, np.where(v2, g2, g3))
     gap_contrib = np.where(prev_col_gap, sp.gap_extend, sp.gap_open)
 
     contrib = np.where(is_m, m_contrib, gap_contrib) * valid

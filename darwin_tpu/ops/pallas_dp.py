@@ -61,14 +61,19 @@ def _score_dtype(T: int, match: int, mismatch: int, gap_open: int,
 
 def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
                  gap_open: int, gap_extend: int, sdt, neg_inf: int,
-                 packed: bool, interleave: int = 1):
+                 fmt: str, interleave: int = 1):
+    # Word-emitting formats carry prior-row state in extra scratch:
+    # "packed" one t-word row; "packed6" the t5 row plus a 3-row
+    # shifted-byte history for the diagonal fields.
+    n_hist = {"bytes": 0, "packed": 1, "packed6": 4}[fmt]
     n_row_blocks = T // ROWS_PER_STEP
 
     def kernel(refT_ref, query_ref, rlen_ref, qlen_ref,    # inputs
                dir_ref, stats_ref,                          # outputs
                m_s, i_s, qs_s, bh_s, bi_s, ph_s, p3_s,
                *maybe_tp):                                  # scratch
-        tp_s = maybe_tp[0] if packed else None
+        tp_s = maybe_tp[0] if n_hist >= 1 else None
+        hist_s = maybe_tp[1:n_hist] if n_hist > 1 else ()
         ib = pl.program_id(1)  # row block: DP rows ib*8+1 .. ib*8+8
         BB = m_s.shape[0]
         # 16-bit iota is unsupported in hardware; generate 32-bit, cast.
@@ -100,8 +105,10 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             ph_s[:] = jnp.zeros((BB, TJP), sdt)
             # max(m, i, d) of DP row 0 = max(0, -inf, -inf) = 0.
             p3_s[:] = jnp.zeros((BB, TJP), sdt)
-            if packed:
+            if n_hist >= 1:
                 tp_s[:] = jnp.zeros((BB, TJP), jnp.int32)
+            for h in hist_s:
+                h[:] = jnp.zeros((BB, TJP), jnp.int32)
 
         rlen = rlen_ref[:].astype(sdt)      # [BB, 1]
         qlen = qlen_ref[:].astype(sdt)
@@ -125,22 +132,36 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         # cuda_header.h:156-243).  interleave=1 is the plain kernel;
         # results are bit-identical for any value.
         H = BB // interleave
+        # Scratch is read full-width and sliced as VALUES, and only
+        # full-lane-width ([*, TJP]) values are ever sliced: Mosaic
+        # aborts on hardware both on sub-block ref reads/writes and on
+        # sublane-slices of narrow ([BB, 1] / [BB, 8]) values (array.h
+        # Check failed: limits <= dim), so rlen broadcasts to lane
+        # width first and the per-row ref char is broadcast before the
+        # per-stream split.
+        m_full, i_full = m_s[:], i_s[:]
+        bh_full, bi_full, ph_full = bh_s[:], bi_s[:], ph_s[:]
+        p3_full = p3_s[:]
+        tp_full = tp_s[:] if n_hist >= 1 else None
+        hist_full = [h[:] for h in hist_s]
+        rlen_bc = jnp.broadcast_to(rlen, (BB, TJP))
         streams = []
         for si in range(interleave):
             z = slice(si * H, (si + 1) * H)
             # d never feeds the next row directly (prev3 = max(m,i,d)
             # does), so no d scratch is carried.
             streams.append(dict(
-                z=z, qs=qs_full[z], rc8=rc8[z], rlen=rlen[z],
+                z=z, qs=qs_full[z], rlen=rlen_bc[z],
                 ub=u_base[z], db=d_base[z], l0=lane0[z], jv=jvalid[z],
-                m=m_s[z], i=i_s[z], bh=bh_s[z], bi=bi_s[z],
-                ph=ph_s[z], p3=p3_s[z],
-                tp=(tp_s[z] if packed else None)))
+                m=m_full[z], i=i_full[z], bh=bh_full[z], bi=bi_full[z],
+                ph=ph_full[z], p3=p3_full[z],
+                tp=(tp_full[z] if n_hist >= 1 else None),
+                **({"c1a": hist_full[0][z], "c1b": hist_full[1][z],
+                    "c1c": hist_full[2][z]} if n_hist > 1 else {})))
 
-        def row_update(sv, r):
+        def row_update(sv, r, rc):
             i = ib * ROWS_PER_STEP + r  # DP row is i+1
             ip1 = jax.lax.convert_element_type(i + 1, sdt)
-            rc = sv["rc8"][:, r: r + 1]                      # [H, 1]
             is_eq = sv["qs"] == rc
             match_s = jnp.where(is_eq, c(match), c(mismatch))
 
@@ -193,7 +214,7 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             rvalid = ip1 <= sv["rlen"]
             valid = sv["jv"] & rvalid
             opb = jnp.where(valid, op, c(0))
-            if packed:
+            if fmt == "packed":
                 # Traceback word: this cell, its right-lane neighbour,
                 # and the same pair from the row above — one int32
                 # gather then yields the walker's current cell plus all
@@ -201,6 +222,19 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
                 t = (opb + (shift_left(opb) << 8)).astype(jnp.int32)
                 row_out = t + (sv["tp"] << 16)
                 sv["tp"] = t
+            elif fmt == "packed6":
+                # 5-bit-field word (see pack_dir_words6): the 2x2 quad
+                # plus the MM and MMM diagonal cells, carried via a
+                # 3-row shifted-byte history so a match-run walker
+                # advances up to 4 steps per gather.
+                t5 = (opb + (shift_left(opb) << 5)).astype(jnp.int32)
+                d1 = shift_right(opb, 1, 0).astype(jnp.int32)
+                row_out = (t5 + (sv["tp"] << 10) + (sv["c1b"] << 20)
+                           + (shift_right(sv["c1c"], 1, 0) << 25))
+                sv["tp"] = t5
+                sv["c1c"] = sv["c1b"]
+                sv["c1b"] = sv["c1a"]
+                sv["c1a"] = d1
             else:
                 row_out = opb.astype(jnp.uint8)
 
@@ -220,7 +254,8 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
             # stores to the dir ref on hardware (sublane-sliced write
             # to a block dim), so streams hand back their row slices
             # and a single concat reassembles them.
-            rows = [row_update(sv, r) for sv in streams]
+            rcb = jnp.broadcast_to(rc8[:, r: r + 1], (BB, TJP))
+            rows = [row_update(sv, r, rcb[sv["z"]]) for sv in streams]
             dir_ref[:, r, :] = (rows[0] if interleave == 1
                                 else jnp.concatenate(rows, axis=0))
 
@@ -236,8 +271,12 @@ def _make_kernel(T: int, TJP: int, match: int, mismatch: int,
         bi_s[:] = best_i
         ph_s[:] = pos_h
         p3_s[:] = cat("p3")
-        if packed:
+        if n_hist >= 1:
             tp_s[:] = cat("tp")
+        if n_hist > 1:
+            hist_s[0][:] = cat("c1a")
+            hist_s[1][:] = cat("c1b")
+            hist_s[2][:] = cat("c1c")
 
         @pl.when(ib == n_row_blocks - 1)
         def _finalize():
@@ -283,17 +322,20 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
     pos_score: [B] int32).  With dir_format="packed", `dir` is replaced
     by `dir_words`: [B, T, TJP] int32 traceback words (each cell packed
     with its right / up / up-right neighbours; consumed by
-    traceback_packed_jax, which advances two steps per gather).
+    traceback_packed_jax, which advances two steps per gather).  With
+    dir_format="packed6", `dir_words` carries the 5-bit-field layout of
+    pack_dir_words6 (quad + MM/MMM diagonal cells; consumed by
+    traceback_packed6_jax, 2-4 steps per gather).
     """
     B, T = ref.shape
     BB = min(block_b, B)
     assert B % BB == 0, (B, BB)
     assert T % ROWS_PER_STEP == 0, T
-    assert dir_format in ("bytes", "packed"), dir_format
+    assert dir_format in ("bytes", "packed", "packed6"), dir_format
     # Sub-blocks must stay sublane-aligned (8 int32 sublanes/vreg).
     assert interleave == 1 or BB % (interleave * 8) == 0, \
         (BB, interleave)
-    packed = dir_format == "packed"
+    packed = dir_format != "bytes"
     TJP = _round_up(T + 1, 128)
     sdt_np, neg_inf = _score_dtype(T, match, mismatch, gap_open,
                                    gap_extend)
@@ -306,7 +348,7 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
 
     grid = (B // BB, T // ROWS_PER_STEP)
     kernel = _make_kernel(T, TJP, match, mismatch, gap_open, gap_extend,
-                          sdt_np, neg_inf, packed, interleave)
+                          sdt_np, neg_inf, dir_format, interleave)
     scratch = [
         pltpu.VMEM((BB, TJP), sdt_np),  # m
         pltpu.VMEM((BB, TJP), sdt_np),  # i
@@ -316,8 +358,9 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
         pltpu.VMEM((BB, TJP), sdt_np),  # pos_h
         pltpu.VMEM((BB, TJP), sdt_np),  # prev3 = max(m, i, d)
     ]
-    if packed:
-        scratch.append(pltpu.VMEM((BB, TJP), jnp.int32))  # prior row
+    n_hist = {"bytes": 0, "packed": 1, "packed6": 4}[dir_format]
+    for _ in range(n_hist):  # prior-row word + packed6 byte history
+        scratch.append(pltpu.VMEM((BB, TJP), jnp.int32))
     dirm, stats = pl.pallas_call(
         kernel,
         grid=grid,

@@ -127,6 +127,160 @@ def pack_dir_words(dirm: jnp.ndarray) -> jnp.ndarray:
     return t + (t_up << 16)
 
 
+def pack_dir_words6(dirm: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, C] uint8 dir matrix -> int32 5-bit-field traceback words.
+
+    Dir bytes are 5 bits (op 0-3 | openD 4 | openI 8 | MATCH_BIT 16),
+    so one int32 holds six cells:
+
+      W[r,c] = D[r,c] | D[r,c+1]<<5 | D[r-1,c]<<10 | D[r-1,c+1]<<15
+               | D[r-2,c-1]<<20 | D[r-3,c-2]<<25     (missing -> 0)
+
+    Gathered at (i-1, j-1), the low four fields are the same 2x2 quad
+    as pack_dir_words (current cell + all three move targets); the two
+    extra fields are the MM and MMM diagonal cells (i-2,j-2) and
+    (i-3,j-3), so a walker on a match run advances up to FOUR steps per
+    gather (traceback_packed6_jax).  The Pallas kernel emits this
+    layout directly (dir_format="packed6").
+    """
+    d = dirm.astype(jnp.int32)
+    right = jnp.pad(d[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+    t5 = d + (right << 5)
+    t5_up = jnp.pad(t5[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    w = t5 + (t5_up << 10)
+    d2 = jnp.pad(d[:, :-2, :-1], ((0, 0), (2, 0), (1, 0)))
+    d3 = jnp.pad(d[:, :-3, :-2], ((0, 0), (3, 0), (2, 0)))
+    return w + (d2 << 20) + (d3 << 25)
+
+
+@functools.partial(jax.jit, static_argnames=("early_terminate",))
+def traceback_packed6_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
+                          query_len: jnp.ndarray, first: jnp.ndarray,
+                          max_i: jnp.ndarray, max_j: jnp.ndarray,
+                          *, early_terminate: int):
+    """Walk pack_dir_words6 words: 2-4 steps per gather.
+
+    Steps A and B work exactly like traceback_packed_jax; when both
+    moves were diagonal the word also carries the (i-2,j-2) byte, so a
+    third step resolves in the same iteration, and a third diagonal
+    move exposes (i-3,j-3) for a fourth.  Per-gather cost is unchanged
+    (one [B] int32 gather — measured throughput-bound, see
+    BENCH_NOTES); match-run-heavy walks need ~2x fewer gathers.
+
+    Variable advance leaves up to two zero slots inside a lane's
+    4-slot group; consumers treat zeros as skips (the scoring lookback
+    in engine/scoring.py / device _score_ops spans them), and
+    (ops != 0) subsequences, step counts, mbits and scores are
+    identical to traceback_jax's.
+    """
+    B, T, C = words.shape
+    ET = early_terminate
+    S = 2 * ET - 1
+    # Each iteration records a 4-slot group holding 2-4 ops, so a full
+    # S-step walk may spread over 4*ceil(S/2) slots (worst case: every
+    # group advances only 2).  The returned arrays keep this width;
+    # consumers already treat zeros as skips.
+    SP = 4 * (-(-(S + 1) // 2))
+    dt = jnp.int32
+    flat = words.reshape(B, T * C)
+
+    def gather_word(i, j):
+        idx = (jnp.clip(i - 1, 0, T - 1) * C
+               + jnp.clip(j - 1, 0, C - 1))
+        w = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        return jnp.where((i >= 1) & (j >= 1), w, 0)
+
+    def resolve(pstate, pval, cur_op):
+        return jnp.where(
+            pstate == 3, cur_op & 3,
+            jnp.where(
+                pstate == 2,
+                jnp.where((pval & GAP_OPEN_FLAG_I) != 0, 3, 2),
+                jnp.where(
+                    pstate == 1,
+                    jnp.where((pval & GAP_OPEN_FLAG_D) != 0, 3, 1),
+                    0)))
+
+    i0 = jnp.where(first, max_i, ref_len).astype(dt)
+    j0 = jnp.where(first, max_j, query_len).astype(dt)
+    ops0 = jnp.zeros((SP, B), jnp.uint8)
+    zero = jnp.zeros((B,), dt)
+
+    def cond(carry):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+        pending = (pstate != 0) & (i_steps < ET) & (j_steps < ET)
+        return (s + 1 < SP) & jnp.any(pending)
+
+    def substep(state, val, have, i, j, i_steps, j_steps,
+                v_next, have_next):
+        """One walk step at (i, j), whose state/byte are (state, val)
+        when `have`; records the op, moves, and chains to the next
+        cell's (state, val) ONLY when that cell's byte `v_next` is
+        actually in the word (`have_next`) — otherwise the carry keeps
+        describing this cell, exactly the 2-step walker's convention
+        (the next iteration's gather resolves the rest)."""
+        act = have & (state != 0) & (i_steps < ET) & (j_steps < ET)
+        rec = jnp.where(
+            act, state + jnp.where(state == 3, val & MATCH_BIT, 0), 0)
+        is_m = state == 3
+        is_i = state == 2
+        di = jnp.where(is_m | is_i, 1, 0)
+        dj = jnp.where(is_m, 1, jnp.where(is_i, 0, 1))
+        ni = jnp.where(act, i - di, i)
+        nj = jnp.where(act, j - dj, j)
+        n_is = i_steps + jnp.where(act, di, 0)
+        n_js = j_steps + jnp.where(act, dj, 0)
+        v_next = jnp.where((ni >= 1) & (nj >= 1), v_next, 0)
+        upd = act & have_next
+        n_val = jnp.where(upd, v_next, val)
+        n_state = jnp.where(upd, resolve(state, val, v_next), state)
+        return (rec, act, is_m, n_state, n_val, upd,
+                ni, nj, n_is, n_js)
+
+    def step(carry):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+        w = gather_word(i, j)
+        val = (w >> 5) & 31            # current cell (i, j)
+        state = resolve(pstate, pval, val)
+        true_b = jnp.full((B,), True)
+
+        # Step A: target byte always in the quad.
+        is_m_a = state == 3
+        is_i_a = state == 2
+        vb1 = jnp.where(is_m_a, (w >> 10) & 31,
+                        jnp.where(is_i_a, (w >> 15) & 31, w & 31))
+        rec_a, act_a, _, st1, v1, have1, i1, j1, is1, js1 = substep(
+            state, val, true_b, i, j, i_steps, j_steps, vb1, true_b)
+
+        # Step B: cell2's byte is in-word only for the MM diagonal
+        # (A and B both match moves).
+        vb2 = (w >> 20) & 31
+        rec_b, act_b, is_m_b, st2, v2, have2, i2, j2, is2, js2 = \
+            substep(st1, v1, have1, i1, j1, is1, js1, vb2,
+                    is_m_a & (st1 == 3))
+
+        # Step C: cell3's byte needs the MMM diagonal.
+        vb3 = (w >> 25) & 31
+        rec_c, act_c, _, st3, v3, have3, i3, j3, is3, js3 = substep(
+            st2, v2, have2, i2, j2, is2, js2, vb3, st2 == 3)
+
+        # Step D: no further byte; the carry keeps cell3's state/byte.
+        rec_d, act_d, _, st4, v4, _, i4, j4, is4, js4 = substep(
+            st3, v3, have3, i3, j3, is3, js3,
+            jnp.zeros((B,), dt), jnp.zeros((B,), bool))
+
+        group = jnp.stack([rec_a, rec_b, rec_c, rec_d]).astype(
+            jnp.uint8)
+        ops = jax.lax.dynamic_update_slice(ops, group, (s, zero[0]))
+        return (s + 4, ops, st4, v4, i4, j4, is4, js4)
+
+    carry = (jnp.int32(0), ops0, jnp.full((B,), 3, dt), zero,
+             i0, j0, zero, zero)
+    _, raw, _, _, _, _, i_steps, j_steps = jax.lax.while_loop(
+        cond, step, carry)
+    return raw & 3, raw >= MATCH_BIT, i_steps, j_steps
+
+
 @functools.partial(jax.jit, static_argnames=("early_terminate", "unroll"))
 def traceback_packed_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
                          query_len: jnp.ndarray, first: jnp.ndarray,

@@ -83,10 +83,13 @@ def test_sharded_gact_engine_matches_single_device(data_dir):
     assert len(recs1) > 0
 
 
-def test_two_tier_drain_matches_host_engine():
+@pytest.mark.parametrize("tb_format", ["packed", "packed6"])
+def test_two_tier_drain_matches_host_engine(tb_format):
     """A batch big enough to trigger the drain (N > B_eff >= 256) must
     produce the host engine's exact record set, and the drain must
-    actually fire (re-dispatch of stragglers into a smaller engine)."""
+    actually fire (re-dispatch of stragglers into a smaller engine).
+    Parametrized over both traceback word formats — packed6's holes
+    exercise the scoring lookback end to end."""
     import numpy as np
 
     from darwin_tpu.config import Params
@@ -130,7 +133,7 @@ def test_two_tier_drain_matches_host_engine():
               match=1, mismatch=-1, gap_open=-1, gap_extend=-1)
     eng = DeviceGactEngine(
         genome, bank, first_tile_score_threshold=4, same_file=False,
-        batch_size=256, backend="lax", **kw)
+        batch_size=256, backend="lax", tb_format=tb_format, **kw)
     recs_dev = eng.finish(eng.run_async(anchors, False))
     assert eng.last_drain_redispatches >= 1, \
         "drain did not fire; test workload no longer triggers it"

@@ -78,6 +78,95 @@ def test_packed_walk_degenerate_starts():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.parametrize("T,div,ragged,et,unroll", [
+    (40, 0.1, False, 24, 2),
+    (64, 0.02, True, 40, 4),
+])
+def test_packed_walk_unrolled_bit_identical(T, div, ragged, et, unroll):
+    """unroll=U amortizes the loop trip over 2U steps; outputs must
+    stay bit-identical (uniform advance, same slots)."""
+    rng = np.random.default_rng(T + unroll)
+    B = 32
+    refs, queries, rlen, qlen = _random_tiles(rng, B, T, div, ragged)
+    firsts = np.zeros(B, bool)
+    firsts[::2] = True
+    out = align_tiles_jax(refs, queries, rlen, qlen, match=1,
+                          mismatch=-1, gap_open=-1, gap_extend=-1)
+    words = pack_dir_words(out["dir"])
+    a = traceback_packed_jax(words, rlen, qlen, firsts, out["max_i"],
+                             out["max_j"], early_terminate=et)
+    b = traceback_packed_jax(words, rlen, qlen, firsts, out["max_i"],
+                             out["max_j"], early_terminate=et,
+                             unroll=unroll)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("T,div,ragged,et", [
+    (40, 0.05, False, 24),
+    (40, 0.5, True, 24),
+    (64, 0.02, True, 40),
+    (32, 0.9, False, 200),
+])
+def test_packed6_walk_semantics(T, div, ragged, et):
+    """The 5-bit-field walker advances 2-4 steps/gather, leaving holes
+    inside its 4-slot groups — the (ops != 0) subsequence, its match
+    bits, and the step counts must equal the byte walk's, and holes
+    must only be trailing slots of each group."""
+    from darwin_tpu.ops.traceback import (pack_dir_words6,
+                                          traceback_packed6_jax)
+
+    rng = np.random.default_rng(T * 7 + int(div * 100))
+    B = 32
+    refs, queries, rlen, qlen = _random_tiles(rng, B, T, div, ragged)
+    firsts = np.zeros(B, bool)
+    firsts[::2] = True
+    out = align_tiles_jax(refs, queries, rlen, qlen, match=1,
+                          mismatch=-1, gap_open=-1, gap_extend=-1)
+    a_ops, a_mb, a_is, a_js = (np.asarray(x) for x in traceback_jax(
+        out["dir"], rlen, qlen, firsts, out["max_i"], out["max_j"],
+        early_terminate=et))
+    w6 = pack_dir_words6(out["dir"])
+    b_ops, b_mb, b_is, b_js = (np.asarray(x) for x in
+                               traceback_packed6_jax(
+        w6, rlen, qlen, firsts, out["max_i"], out["max_j"],
+        early_terminate=et))
+    np.testing.assert_array_equal(a_is, b_is)
+    np.testing.assert_array_equal(a_js, b_js)
+    for b in range(B):
+        sel_a = a_ops[:, b] != 0
+        sel_b = b_ops[:, b] != 0
+        np.testing.assert_array_equal(a_ops[sel_a, b],
+                                      b_ops[sel_b, b], err_msg=str(b))
+        np.testing.assert_array_equal(a_mb[sel_a, b], b_mb[sel_b, b])
+        # Hole structure: within each 4-slot group, ops are a prefix.
+        g = b_ops[: 4 * (len(b_ops) // 4), b].reshape(-1, 4) != 0
+        prefix_ok = (np.cumprod(g, axis=1) >= g).all()
+        assert prefix_ok
+
+
+def test_pack_dir_words6_layout():
+    from darwin_tpu.ops.traceback import pack_dir_words6
+
+    d = (np.arange(2 * 5 * 6, dtype=np.uint8).reshape(2, 5, 6) * 7) % 32
+    w = np.asarray(pack_dir_words6(jnp.asarray(d)))
+    for b in range(2):
+        for r in range(5):
+            for c in range(6):
+                want = int(d[b, r, c])
+                if c + 1 < 6:
+                    want |= int(d[b, r, c + 1]) << 5
+                if r >= 1:
+                    want |= int(d[b, r - 1, c]) << 10
+                    if c + 1 < 6:
+                        want |= int(d[b, r - 1, c + 1]) << 15
+                if r >= 2 and c >= 1:
+                    want |= int(d[b, r - 2, c - 1]) << 20
+                if r >= 3 and c >= 2:
+                    want |= int(d[b, r - 3, c - 2]) << 25
+                assert w[b, r, c] == want, (b, r, c)
+
+
 def test_pack_dir_words_layout():
     d = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4) % 32
     w = np.asarray(pack_dir_words(jnp.asarray(d)))

@@ -132,6 +132,29 @@ def main() -> None:
         print(f"byte full step: {dt/V*1e3:.2f} ms/step "
               f"({B*T*T*V/dt/1e9:.2f} GCUPS)")
 
+    if "packed6" in exps:
+        from darwin_tpu.ops.traceback import traceback_packed6_jax
+
+        def step_p6(r, q):
+            out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                     dir_format="packed6", **kw)
+            ops, _mb, i_s, j_s = traceback_packed6_jax(
+                out["dir_words"], rlen, qlen, firsts, out["max_i"],
+                out["max_j"], early_terminate=ET)
+            return (ops.astype(jnp.int32).sum() + i_s.sum() + j_s.sum()
+                    + out["max_score"].sum())
+        dt, _ = bench(chain(step_p6), refs_d, queries_d)
+        print(f"packed6 full step: {dt/V*1e3:.2f} ms/step "
+              f"({B*T*T*V/dt/1e9:.2f} GCUPS)", flush=True)
+
+        def dp_p6(r, q):
+            out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                     dir_format="packed6", **kw)
+            return (out["dir_words"][:, ::64, ::64].sum()
+                    + out["max_score"].sum())
+        dt, _ = bench(chain(dp_p6), refs_d, queries_d)
+        print(f"packed6 dp_only: {dt/V*1e3:.2f} ms/step", flush=True)
+
     if "tbunroll" in exps:
         from darwin_tpu.ops.traceback import traceback_packed_jax
 
