@@ -47,8 +47,8 @@ def main() -> None:
     from darwin_tpu.engine.aligner import default_backend
     from darwin_tpu.ops.pallas_dp import align_tiles_pallas
     from darwin_tpu.ops.reference_dp import align_tiles_jax
-    from darwin_tpu.ops.traceback import (pack_dir_words,
-                                          traceback_packed_jax)
+    from darwin_tpu.ops.traceback import (pack_dir_words6,
+                                          traceback_packed6_jax)
 
     backend = default_backend()
     print(f"backend={jax.default_backend()} kernel={backend} "
@@ -70,12 +70,12 @@ def main() -> None:
     def one_step(r, q):
         if backend == "pallas":
             out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
-                                     dir_format="packed", **kw)
+                                     dir_format="packed6", **kw)
             words = out["dir_words"]
         else:
             out = align_tiles_jax(r, q, rlen, qlen, **kw)
-            words = pack_dir_words(out["dir"])
-        ops, _mb, i_s, j_s = traceback_packed_jax(
+            words = pack_dir_words6(out["dir"])
+        ops, _mb, i_s, j_s = traceback_packed6_jax(
             words, rlen, qlen, firsts, out["max_i"], out["max_j"],
             early_terminate=ET)
         # Reduce over every output so nothing is dead-code-eliminated.
@@ -85,11 +85,11 @@ def main() -> None:
     def dp_only_step(r, q):
         if backend == "pallas":
             out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
-                                     dir_format="packed", **kw)
+                                     dir_format="packed6", **kw)
             words = out["dir_words"]
         else:
             out = align_tiles_jax(r, q, rlen, qlen, **kw)
-            words = pack_dir_words(out["dir"])
+            words = pack_dir_words6(out["dir"])
         return (words[:, ::37, ::41].astype(jnp.int32).sum()
                 + out["max_score"].sum() + out["max_i"].sum())
 

@@ -98,7 +98,8 @@ def _query_minimizers_fixed(codes, qlen, k: int, w: int, LP: int):
 def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
                bin_size: int, kmer_max_occ: int, num_seeds_cap: int,
                threshold: int, max_candidates: int, LP: int,
-               tup_max: int, cand_max: int, index: str):
+               tup_max: int, cand_max: int, index: str,
+               tl_steps: int = 0):
     """D-SOFT for one read; all shapes fixed, masked."""
     emit, pos, mhash = _query_minimizers_fixed(codes, qlen, k, w, LP)
 
@@ -110,6 +111,13 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
         h = mhash.astype(jnp.int32)
         start = table_lookup[h]
         end = table_lookup[h + 1]
+    elif index == "twolevel":
+        # Distinct-hash two-level probe (make_twolevel_index): a
+        # handful of gathers per minimizer, no 4^k array (whose device
+        # compile wedges this environment's remote compiler).
+        hd, crs, bkt, hbase, hshift = table_lookup
+        start, end = twolevel_lookup(mhash, hd, crs, bkt, hbase[0],
+                                     hshift[0], steps=tl_steps)
     else:
         start = jnp.searchsorted(table_lookup, mhash, side="left")
         end = jnp.searchsorted(table_lookup, mhash, side="right")
@@ -193,6 +201,64 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
             n, overflow)
 
 
+def make_twolevel_index(hashes: np.ndarray, bucket_factor: int = 4):
+    """Two-level index over ONE sorted hash array (the replicated
+    device table): (hd, crs, bkt, base, shift, steps).  Same structure
+    as the per-shard build in dsoft/sharded_table.py
+    (make_sharded_dense_index), host-built in two passes; see that
+    docstring for why a flat 4^k CSR is not used (memory + the remote
+    compiler wedge)."""
+    n = len(hashes)
+    if n == 0:
+        return (np.full(1, 0xFFFFFFFF, np.uint32),
+                np.zeros(2, np.int32), np.zeros(2, np.int32),
+                np.zeros(1, np.int32), np.zeros(1, np.int32), 1)
+    vals, starts = np.unique(hashes, return_index=True)
+    crs = np.concatenate([starts, [n]]).astype(np.int32)
+    base = int(vals[0])
+    span = int(vals[-1]) - base + 1
+    nd = len(vals)
+    NB = max(1, bucket_factor * nd)
+    shift = 0
+    while ((span - 1) >> shift) >= NB:
+        shift += 1
+    rel_b = (vals.astype(np.int64) - base) >> shift
+    bkt = np.searchsorted(rel_b, np.arange(NB + 1)).astype(np.int32)
+    max_width = max(1, int(np.diff(bkt).max()))
+    steps = max(1, int(np.ceil(np.log2(max_width + 1))))
+    # base/shift ride as [1] arrays so sharding specs stay rank-1.
+    return (vals.astype(np.uint32), crs, bkt,
+            np.array([base], np.int32), np.array([shift], np.int32),
+            steps)
+
+
+def twolevel_lookup(hv, hd, crs, bkt, base, shift, *, steps: int):
+    """Resolve (start, end) pos-table ranges for uint32 hashes `hv`
+    via a two-level index (make_twolevel_index): bucket-directory
+    gathers narrow the search to <= 2^steps distinct hashes, a
+    fixed-step binary refine + one verify gather finish it.  Absent
+    hashes resolve to (0, 0).  All shapes follow hv."""
+    ND = hd.shape[0]
+    NB = bkt.shape[0] - 1
+    rel = hv.astype(jnp.int32) - base
+    b = jax.lax.shift_right_logical(jnp.maximum(rel, 0), shift)
+    bvalid = (rel >= 0) & (b < NB)
+    bc = jnp.minimum(b, NB - 1)
+    lo = jnp.take(bkt, bc)
+    hi = jnp.take(bkt, bc + 1)
+    for _ in range(steps):
+        act = lo < hi
+        mid = (lo + hi) >> 1
+        v = jnp.take(hd, jnp.clip(mid, 0, ND - 1))
+        less = v < hv
+        lo = jnp.where(act & less, mid + 1, lo)
+        hi = jnp.where(act & ~less, mid, hi)
+    d = jnp.minimum(lo, ND - 1)
+    found = bvalid & (lo < ND) & (jnp.take(hd, d) == hv)
+    return (jnp.where(found, jnp.take(crs, d), 0),
+            jnp.where(found, jnp.take(crs, d + 1), 0))
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def dense_hash_index(table_hashes, k: int):
     """CSR index over the full 4^k hash space: csr[h] = number of
@@ -229,12 +295,13 @@ def default_index_mode(k: int) -> str:
     jax.jit,
     static_argnames=("k", "w", "bin_size", "kmer_max_occ",
                      "num_seeds_cap", "threshold", "max_candidates",
-                     "tup_max", "cand_max", "index"))
+                     "tup_max", "cand_max", "index", "tl_steps"))
 def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
                        k: int, w: int, bin_size: int, kmer_max_occ: int,
                        num_seeds_cap: int, threshold: int,
                        max_candidates: int, tup_max: int = 8192,
-                       cand_max: int = 512, index: str = "searchsorted"):
+                       cand_max: int = 512, index: str = "searchsorted",
+                       tl_steps: int = 0):
     """Batched on-device D-SOFT.
 
     queries: [R, L] uint8 ASCII (zero-padded), qlens: [R] int32.
@@ -242,6 +309,8 @@ def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
     overflow[R]); hits/offsets are -1 beyond counts.
     index: "dense" = direct CSR gathers over the 4^k hash space
     (table_hashes must then BE the dense_hash_index array),
+    "twolevel" = two-level probe (table_hashes = the first five
+    make_twolevel_index arrays, tl_steps = its steps),
     "searchsorted" = binary search over the sorted hash array.
     """
     R, L = queries.shape
@@ -255,8 +324,10 @@ def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
         _dsoft_one, k=k, w=w, bin_size=bin_size,
         kmer_max_occ=kmer_max_occ, num_seeds_cap=num_seeds_cap,
         threshold=threshold, max_candidates=max_candidates, LP=LP,
-        tup_max=tup_max, cand_max=cand_max, index=index)
-    return jax.vmap(fn, in_axes=(0, 0, None, None))(
+        tup_max=tup_max, cand_max=cand_max, index=index,
+        tl_steps=tl_steps)
+    table_axes = (None,) * 5 if index == "twolevel" else None
+    return jax.vmap(fn, in_axes=(0, 0, table_axes, None))(
         codes, qlens.astype(jnp.int32), lookup, table_pos)
 
 
@@ -264,7 +335,7 @@ def sharded_dsoft_fn(mesh, *, k: int, w: int, bin_size: int,
                      kmer_max_occ: int, num_seeds_cap: int,
                      threshold: int, max_candidates: int,
                      tup_max: int = 8192, cand_max: int = 512,
-                     index: str = "searchsorted"):
+                     index: str = "searchsorted", tl_steps: int = 0):
     """shard_map'd D-SOFT: reads sharded over the mesh's data axis,
     seed table replicated; one dispatch seeds the whole batch."""
     from jax.sharding import PartitionSpec as P
@@ -276,11 +347,13 @@ def sharded_dsoft_fn(mesh, *, k: int, w: int, bin_size: int,
             queries, qlens, th, tp, k=k, w=w, bin_size=bin_size,
             kmer_max_occ=kmer_max_occ, num_seeds_cap=num_seeds_cap,
             threshold=threshold, max_candidates=max_candidates,
-            tup_max=tup_max, cand_max=cand_max, index=index)
+            tup_max=tup_max, cand_max=cand_max, index=index,
+            tl_steps=tl_steps)
 
+    th_spec = ((P(None),) * 5 if index == "twolevel" else P(None))
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(None), P(None)),
+        in_specs=(P(axis, None), P(axis), th_spec, P(None)),
         out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(fn)

@@ -210,29 +210,12 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
         # instead of two ~log2(Nm)-step binary searches (the dominant
         # lookup cost in the stage measurements).  Hashes absent from
         # this shard resolve to occ 0.
+        from darwin_tpu.dsoft.device import twolevel_lookup
         hd1, crs1, bkt1, hbase, hshift = (a[0] for a in dindex)
-        ND = hd1.shape[0]
-        NB = bkt1.shape[0] - 1
-        hv = mhash.reshape(-1)                       # uint32
-        rel = hv.astype(jnp.int32) - hbase
-        b = jax.lax.shift_right_logical(jnp.maximum(rel, 0), hshift)
-        bvalid = (rel >= 0) & (b < NB)
-        bc = jnp.minimum(b, NB - 1)
-        lo = jnp.take(bkt1, bc)
-        hi = jnp.take(bkt1, bc + 1)
-        for _ in range(dsteps):
-            act = lo < hi
-            mid = (lo + hi) >> 1
-            v = jnp.take(hd1, jnp.clip(mid, 0, ND - 1))
-            less = v < hv
-            lo = jnp.where(act & less, mid + 1, lo)
-            hi = jnp.where(act & ~less, mid, hi)
-        d = jnp.minimum(lo, ND - 1)
-        found = bvalid & (lo < ND) & (jnp.take(hd1, d) == hv)
-        s0 = jnp.take(crs1, d)
-        e0 = jnp.take(crs1, d + 1)
-        start_l = jnp.where(found, s0, 0).reshape(R, LP)
-        end_l = jnp.where(found, e0, 0).reshape(R, LP)
+        s0, e0 = twolevel_lookup(mhash.reshape(-1), hd1, crs1, bkt1,
+                                 hbase, hshift, steps=dsteps)
+        start_l = s0.reshape(R, LP)
+        end_l = e0.reshape(R, LP)
     else:
         start_l = jnp.searchsorted(th, mhash.reshape(-1),
                                    side="left").reshape(R, LP)

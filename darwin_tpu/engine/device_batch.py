@@ -78,8 +78,9 @@ class _Static:
     # iterations stop paying full-batch DP cost.  0 = run to the end.
     drain: int = 0
     # Traceback word format: "packed" (2 steps/gather) or "packed6"
-    # (5-bit fields, 2-4 steps/gather on match runs).
-    tbfmt: str = "packed"
+    # (5-bit fields, 2-4 steps/gather on match runs; measured 14.82 ->
+    # 13.90 ms/step at the bench shape, BENCH_NOTES round 3).
+    tbfmt: str = "packed6"
 
 
 def _align(st: _Static, ref_t, query_t, rlen, qlen, first_b):
@@ -451,7 +452,7 @@ class DeviceGactEngine:
                  mismatch: int, gap_open: int, gap_extend: int,
                  same_file: bool, batch_size: int = 256,
                  compute_score: bool = True, backend: str = "auto",
-                 block_b: int = 128, tb_format: str = "packed"):
+                 block_b: int = 128, tb_format: str = "packed6"):
         if backend == "auto":
             from darwin_tpu.engine.aligner import default_backend
             backend = default_backend()

@@ -89,6 +89,7 @@ def collect_calls_device(table: SeedTable, genome: Genome,
         return GactCalls(z, z, z, z)
     if index == "auto":
         index = default_index_mode(table.k)
+    tl_steps = 0
     if index == "dense":
         # Built once per table in its own jit (see dense_hash_index)
         # and cached on the table object.
@@ -96,6 +97,14 @@ def collect_calls_device(table: SeedTable, genome: Genome,
         if th_arg is None:
             th_arg = dense_hash_index(np.asarray(table.hashes), table.k)
             table._dense_csr = th_arg
+    elif index == "twolevel":
+        # Host-built two-level index, cached per table.
+        cached = getattr(table, "_twolevel", None)
+        if cached is None:
+            from darwin_tpu.dsoft.device import make_twolevel_index
+            cached = table._twolevel = make_twolevel_index(
+                np.asarray(table.hashes))
+        th_arg, tl_steps = cached[:5], cached[5]
     else:
         th_arg = np.asarray(table.hashes)
     Q, lens = pad_reads(queries, ids)
@@ -113,7 +122,8 @@ def collect_calls_device(table: SeedTable, genome: Genome,
               num_seeds_cap=params.num_seeds,
               threshold=params.threshold,
               max_candidates=params.max_candidates,
-              tup_max=tup_max, cand_max=cand_max, index=index)
+              tup_max=tup_max, cand_max=cand_max, index=index,
+              tl_steps=tl_steps)
     if mesh is not None:
         n_dev = mesh.devices.size
         R = Q.shape[0]

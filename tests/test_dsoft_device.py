@@ -180,3 +180,69 @@ def test_device_dsoft_dense_index_matches_golden(seed):
     for a, b in zip(out_ss, out_d):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     _check_parity(gt, reads, out_d)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_device_dsoft_twolevel_index_matches_golden(seed):
+    """index='twolevel' (distinct-hash probe, no 4^k array) must be
+    bit-identical to the searchsorted path and the golden spec."""
+    from darwin_tpu.dsoft.device import make_twolevel_index
+
+    gt, reads = _fixture(seed)
+    out_ss = _run_device(gt, reads, fn=lambda q, l, th, tp:
+                         dsoft_device_batch(
+                             q, l, th, tp, k=gt.k, w=gt.w,
+                             bin_size=gt.bin_size,
+                             kmer_max_occ=gt.kmer_max_occurence,
+                             num_seeds_cap=800, threshold=18,
+                             max_candidates=10**6, tup_max=8192,
+                             cand_max=256, index="searchsorted"))
+    tl = make_twolevel_index(np.asarray(gt.hashes))
+    out_t = _run_device(gt, reads, fn=lambda q, l, th, tp:
+                        dsoft_device_batch(
+                            q, l, tl[:5], tp, k=gt.k, w=gt.w,
+                            bin_size=gt.bin_size,
+                            kmer_max_occ=gt.kmer_max_occurence,
+                            num_seeds_cap=800, threshold=18,
+                            max_candidates=10**6, tup_max=8192,
+                            cand_max=256, index="twolevel",
+                            tl_steps=tl[5]))
+    for a, b in zip(out_ss, out_t):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _check_parity(gt, reads, out_t)
+
+
+def test_collect_calls_device_twolevel_matches_host():
+    """collect_calls_device(index='twolevel') equals the host engine's
+    exact call set (and caches the index on the table)."""
+    from darwin_tpu.config import Params
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.io.fasta import FastaRecord
+    from darwin_tpu.pipeline import collect_calls, collect_calls_device
+
+    rng = np.random.default_rng(13)
+    ref = rng.choice(ALPHA[:4], size=20000).astype(np.uint8)
+    reads = []
+    for _ in range(6):
+        s = int(rng.integers(0, 17000))
+        r = ref[s:s + int(rng.integers(500, 2500))].copy()
+        mut = rng.random(len(r)) < 0.1
+        r[mut] = rng.choice(ALPHA[:4], size=int(mut.sum()))
+        reads.append(FastaRecord(["r"], r.tobytes().decode()))
+    params = Params(seed_size=12, bin_size=32)
+    genome = Genome(reads, params.bin_size)
+    table = SeedTable.build(genome.concat, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    from darwin_tpu.coding import seq_to_bytes
+    from darwin_tpu.engine.seqbank import SeqBank
+    bank = SeqBank([seq_to_bytes(r.seq) for r in reads])
+    host = collect_calls(table, genome, bank, params)
+    dev = collect_calls_device(table, genome, bank, params,
+                               index="twolevel")
+    assert getattr(table, "_twolevel", None) is not None
+    np.testing.assert_array_equal(dev.ref_id, host.ref_id)
+    np.testing.assert_array_equal(dev.query_id, host.query_id)
+    np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
+    np.testing.assert_array_equal(dev.query_pos, host.query_pos)
