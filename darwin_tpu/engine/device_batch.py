@@ -446,6 +446,10 @@ class DeviceGactEngine:
     """One-dispatch-per-direction GACT engine with device-resident
     sequence banks."""
 
+    # Two-tier drain switch (A/B measurement + escape hatch); see
+    # _dispatch for when the drain actually engages.
+    drain_enabled: bool = True
+
     def __init__(self, genome: Genome, queries: SeqBank, *,
                  tile_size: int, early_terminate: int,
                  first_tile_score_threshold: int, match: int,
@@ -615,7 +619,8 @@ class DeviceGactEngine:
         comp = np.broadcast_to(
             np.asarray(complement, dtype=np.int32), (N,)).copy()
         cs = self._fresh_state(calls.ref_pos, calls.query_pos)
-        out, drain = self._dispatch(rid, qid, bid, comp, cs, True)
+        out, drain = self._dispatch(rid, qid, bid, comp, cs,
+                                    self.drain_enabled)
         return (out, drain, (rid, qid, bid, comp))
 
     @staticmethod

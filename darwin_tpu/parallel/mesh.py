@@ -29,8 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from darwin_tpu.engine.aligner import TileResult, default_backend
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
-from darwin_tpu.ops.traceback import (pack_dir_words,
-                                      traceback_packed_jax)
+from darwin_tpu.ops.traceback import (pack_dir_words6,
+                                      traceback_packed6_jax)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -59,14 +59,14 @@ def sharded_tile_step(mesh: Mesh, *, early_terminate: int, match: int,
                 ref, query, rlen, qlen, match=match, mismatch=mismatch,
                 gap_open=gap_open, gap_extend=gap_extend,
                 block_b=min(block_b, ref.shape[0]),
-                dir_format="packed")
+                dir_format="packed6")
             words = out["dir_words"]
         else:
             out = align_tiles_jax(
                 ref, query, rlen, qlen, match=match, mismatch=mismatch,
                 gap_open=gap_open, gap_extend=gap_extend)
-            words = pack_dir_words(out["dir"])
-        ops, _mb, i_steps, j_steps = traceback_packed_jax(
+            words = pack_dir_words6(out["dir"])
+        ops, _mb, i_steps, j_steps = traceback_packed6_jax(
             words, rlen, qlen, first, out["max_i"], out["max_j"],
             early_terminate=early_terminate)
         score = jnp.where(first, out["max_score"], out["pos_score"])
