@@ -437,7 +437,8 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
              (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap,
               termp, donep, score, nmat, ncol, hp0, hp1, fg0, fg1)],
             axis=1)
-        return records[:Ncap], nrec, state_out, iters, act_sum
+        return (records[:Ncap], nrec, state_out, iters, act_sum,
+                calls_done)
 
     return jax.jit(engine)
 
@@ -640,13 +641,17 @@ class DeviceGactEngine:
         if handle is None:
             return []
         out, drain, meta = handle
-        records_d, nrec_d, state_d, iters_d, act_d = out
-        records, nrec = jax.device_get((records_d, nrec_d))
+        records_d, nrec_d, state_d, iters_d, act_d, cdone_d = out
+        records, nrec, cdone = jax.device_get(
+            (records_d, nrec_d, cdone_d))
         recs = self._decode(records, nrec)
         self.last_iters, self.last_active_sum = (
             int(jax.device_get(iters_d)), int(jax.device_get(act_d)))
         self.last_drain_redispatches = 0
-        while drain:
+        # Only fetch the per-call state when the dispatch actually
+        # stopped early (cheap scalar check; a completed loop has
+        # calls_done == n_calls and nothing to resume).
+        while drain and int(cdone) < len(meta[0]):
             rid, qid, bid, comp = meta
             state = np.asarray(jax.device_get(state_d))[: len(rid)]
             undone = state[:, 8] == 0
@@ -654,9 +659,10 @@ class DeviceGactEngine:
                 break
             idx = np.flatnonzero(undone)
             meta = (rid[idx], qid[idx], bid[idx], comp[idx])
-            (records_d, nrec_d, state_d, it_d, ac_d), drain = \
+            (records_d, nrec_d, state_d, it_d, ac_d, cdone_d), drain = \
                 self._dispatch(*meta, state[idx], False)
-            records, nrec = jax.device_get((records_d, nrec_d))
+            records, nrec, cdone = jax.device_get(
+                (records_d, nrec_d, cdone_d))
             recs += self._decode(records, nrec)
             self.last_iters += int(jax.device_get(it_d))
             self.last_active_sum += int(jax.device_get(ac_d))
@@ -734,7 +740,7 @@ class ShardedGactEngine(DeviceGactEngine):
             axis = self.mesh.axis_names[0]
 
             def local(n_calls, gconcat, qflat, *arrs):
-                rec, nrec, _state, _iters, _act = base(
+                rec, nrec, _state, _iters, _act, _cdone = base(
                     n_calls[0], gconcat, qflat, *arrs)
                 return rec, jnp.reshape(nrec, (1,))
 
