@@ -88,6 +88,7 @@ def test_cli_distributed_two_processes(data_dir, tmp_path):
                "--params", str(d / "params.cfg"),
                "--batch-size", "64", "--distributed",
                "--out-dir", str(tmp_path),
+               "--paf-out", str(tmp_path / f"paf.{pid}.paf"),
                "--merged-out", str(tmp_path / f"merged.{pid}.out")]
         return subprocess.Popen(cmd, env=env, cwd=tmp_path,
                                 stdout=subprocess.PIPE,
@@ -106,6 +107,14 @@ def test_cli_distributed_two_processes(data_dir, tmp_path):
     m0 = (tmp_path / "merged.0.out").read_text().splitlines()
     m1 = (tmp_path / "merged.1.out").read_text().splitlines()
     assert m0 == m1 == want
+
+    # PAF is all-gathered: every process writes the full merged set
+    # (one record per merged overlap), identical across processes.
+    p0 = (tmp_path / "paf.0.paf").read_text().splitlines()
+    p1 = (tmp_path / "paf.1.paf").read_text().splitlines()
+    assert p0 == p1 and len(p0) == len(want)
+    for line in p0:
+        assert len(line.split("\t")) == 13
 
 
 @pytest.mark.slow
