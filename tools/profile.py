@@ -43,7 +43,7 @@ def profile_kernel(args) -> None:
     import jax.numpy as jnp
 
     from darwin_tpu.ops.pallas_dp import align_tiles_pallas
-    from darwin_tpu.ops.traceback import traceback_packed_jax
+    from darwin_tpu.ops.traceback import traceback_packed6_jax
 
     B, T = args.B, args.T
     rng = np.random.default_rng(0)
@@ -58,9 +58,9 @@ def profile_kernel(args) -> None:
 
     @jax.jit
     def step(r, q):
-        out = align_tiles_pallas(r, q, rlen, rlen, dir_format="packed",
+        out = align_tiles_pallas(r, q, rlen, rlen, dir_format="packed6",
                                  **kw)
-        ops, _mb, i_s, j_s = traceback_packed_jax(
+        ops, _mb, i_s, j_s = traceback_packed6_jax(
             out["dir_words"], rlen, rlen, firsts, out["max_i"],
             out["max_j"], early_terminate=200)
         return (ops.astype(jnp.int32).sum() + i_s.sum() + j_s.sum()

@@ -15,7 +15,9 @@ import numpy as np
 from darwin_tpu.ops.pallas_dp import align_tiles_pallas
 from darwin_tpu.ops.reference_dp import align_tiles_jax
 from darwin_tpu.ops.traceback import (pack_dir_words, traceback_jax,
-                                      traceback_packed_jax)
+                                      traceback_packed_jax,
+                                      pack_dir_words6,
+                                      traceback_packed6_jax)
 
 
 def main() -> None:
@@ -67,6 +69,22 @@ def main() -> None:
            and np.array_equal(np.asarray(i_s), np.asarray(p_is))
            and np.array_equal(np.asarray(j_s), np.asarray(p_js)))
     print("packed traceback parity:", "OK" if pok else "FAIL")
+
+    # packed6 production walk: same op SUBSEQUENCE (its layout holes
+    # are trailing group slots) and identical step counts.
+    p6 = jax.block_until_ready(
+        traceback_packed6_jax(pack_dir_words6(got["dir"]), rlen, qlen,
+                              first, got["max_i"], got["max_j"],
+                              early_terminate=200))
+    o6 = np.asarray(p6[0])
+    oref = np.asarray(ops)
+    sub_ok = all(
+        np.array_equal(oref[oref[:, b] != 0, b], o6[o6[:, b] != 0, b])
+        for b in range(oref.shape[1]))
+    p6ok = (sub_ok
+            and np.array_equal(np.asarray(i_s), np.asarray(p6[2]))
+            and np.array_equal(np.asarray(j_s), np.asarray(p6[3])))
+    print("packed6 traceback parity:", "OK" if p6ok else "FAIL")
 
     # Timing
     for name, fn in [
