@@ -91,3 +91,29 @@ def test_pallas_matches_jax_nondefault_scoring(sc):
                                   want["dir"][:, :, :T + 1])
     for k in ("max_score", "max_i", "max_j", "pos_score"):
         np.testing.assert_array_equal(got[k], want[k])
+
+
+@pytest.mark.parametrize("B,T,block_b,interleave",
+                         [(16, 24, 16, 2), (32, 24, 32, 4)])
+def test_pallas_interpret_ilp_streams(B, T, block_b, interleave):
+    """interleave>1 (independent per-stream refs) must be bit-identical
+    to the plain kernel for every dir format."""
+    import numpy as np
+    from darwin_tpu.ops.pallas_dp import align_tiles_pallas
+    from darwin_tpu.ops.reference_dp import align_tiles_jax
+    from darwin_tpu.ops.traceback import pack_dir_words6
+
+    rng = np.random.default_rng(100 + interleave)
+    ref, query, rlen, qlen = make_batch(rng, B, T)
+    kw = dict(match=MATCH, mismatch=MISMATCH, gap_open=GO,
+              gap_extend=GE)
+    want = align_tiles_jax(ref, query, rlen, qlen, **kw)
+    got = align_tiles_pallas(ref, query, rlen, qlen, block_b=block_b,
+                             interpret=True, dir_format="packed6",
+                             interleave=interleave, **kw)
+    for k in ("max_score", "max_i", "max_j", "pos_score"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg=k)
+    wantw = np.asarray(pack_dir_words6(want["dir"]))
+    np.testing.assert_array_equal(
+        np.asarray(got["dir_words"])[:, :, : wantw.shape[2]], wantw)

@@ -2,7 +2,7 @@
 whole client down and loses buffered stdout, so each variant runs
 isolated and unbuffered).
 
-Usage: python tools/ilp_probe.py <interleave> [block_b]
+Usage: python tools/ilp_probe.py <interleave> [block_b] [dir_format]
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ B, T, V = 2048, 320, 16
 def main() -> int:
     il = int(sys.argv[1])
     bb = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    fmt = sys.argv[3] if len(sys.argv) > 3 else "packed"
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +38,7 @@ def main() -> int:
 
     def step(r, q):
         out = align_tiles_pallas(r, q, rlen, rlen, block_b=bb,
-                                 dir_format="packed", interleave=il,
+                                 dir_format=fmt, interleave=il,
                                  **kw)
         return (out["dir_words"][:, ::64, ::64].sum()
                 + out["max_score"].sum())
@@ -50,13 +51,15 @@ def main() -> int:
 
     jfn = jax.jit(chained)
     rd, qd = jax.device_put(refs), jax.device_put(queries)
-    print(f"interleave={il} block_b={bb}: compiling...", flush=True)
+    print(f"interleave={il} block_b={bb} fmt={fmt}: compiling...",
+          flush=True)
     sink = int(jax.device_get(jfn(rd, qd)))
     t0 = time.time()
     for _ in range(3):
         sink ^= int(jax.device_get(jfn(rd, qd)))
     dt = (time.time() - t0) / 3
-    print(f"interleave={il} block_b={bb}: {dt/V*1e3:.2f} ms/step "
+    print(f"interleave={il} block_b={bb} fmt={fmt}: "
+          f"{dt/V*1e3:.2f} ms/step "
           f"({B*T*T*V/dt/1e9:.2f} GCUPS, sink={sink})", flush=True)
     return 0
 
