@@ -9,9 +9,12 @@ re-maps to its sampled origin.
 
 This validates the int64 host-side coordinate path end-to-end; the
 device engine's split (row, rem) bank addressing for >2^31 banks is
-covered separately by tests/test_tile_fetch.py.
+covered per-op by tests/test_tile_fetch.py and end-to-end here with
+--engine device (the whole-loop engine on the real banks; run on the
+TPU for the production fetch path, or on CPU with --backend lax).
 
 Usage: python tools/bigcoord_dryrun.py [--gb 2.4] [--pieces 10]
+         [--engine host|device] [--backend auto|lax]
 (takes minutes: ~2.5 GB of sequence, table build, seeding).
 """
 
@@ -28,9 +31,20 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 
 
+_COMP = None
+
+
+def _revcomp_codes(arr: np.ndarray) -> np.ndarray:
+    global _COMP
+    if _COMP is None:
+        _COMP = np.arange(256, dtype=np.uint8)
+        for a, b in zip(b"ACGTacgt", b"TGCAtgca"):
+            _COMP[a] = b
+    return _COMP[arr[::-1]]
+
+
 def main(argv=None) -> int:
     import jax
-    jax.config.update("jax_platforms", "cpu")
 
     from darwin_tpu.config import Params
     from darwin_tpu.engine.aligner import JaxTileAligner
@@ -47,7 +61,18 @@ def main(argv=None) -> int:
     ap.add_argument("--pieces", type=int, default=10)
     ap.add_argument("--reads", type=int, default=4)
     ap.add_argument("--read-len", type=int, default=8000)
+    ap.add_argument("--engine", choices=("host", "device"),
+                    default="host")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--backend", default=None,
+                    help="aligner backend (default: lax on host "
+                    "engine / auto on device engine)")
+    ap.add_argument("--cpu", action="store_true", default=None,
+                    help="force the CPU JAX backend (default for "
+                    "--engine host)")
     args = ap.parse_args(argv)
+    if args.cpu or (args.cpu is None and args.engine == "host"):
+        jax.config.update("jax_platforms", "cpu")
 
     total = int(args.gb * (1 << 30))
     per = total // args.pieces
@@ -64,9 +89,13 @@ def main(argv=None) -> int:
     print(f"genome: {args.pieces} x {per/1e6:.0f} Mb = {total/2**31:.2f}"
           f" x 2^31 bases ({time.time()-t0:.0f} s)")
 
+    big = total > 2**31  # small --gb = CPU smoke of the same code path
+
     t0 = time.time()
     genome = Genome(pieces, params.bin_size)
-    assert int(genome.chr_id_to_start_bin[-1]) * genome.bin_size > 2**31
+    if big:
+        assert (int(genome.chr_id_to_start_bin[-1]) * genome.bin_size
+                > 2**31)
     print(f"concat+maps: {time.time()-t0:.0f} s "
           f"(last piece starts at "
           f"{int(genome.chr_id_to_start_bin[-1])*genome.bin_size/2**31:.2f}"
@@ -76,7 +105,8 @@ def main(argv=None) -> int:
     table = SeedTable.build(genome.concat, params.seed_size,
                             params.seed_occurence_multiple,
                             params.bin_size, params.window_size)
-    assert int(table.pos.max()) > 2**31, "table positions stayed small?"
+    if big:
+        assert int(table.pos.max()) > 2**31, "table positions stayed small?"
     print(f"seed table: {len(table.pos)/1e6:.0f}M minimizers, "
           f"max pos {int(table.pos.max())/2**31:.2f} x 2^31 "
           f"({time.time()-t0:.0f} s)")
@@ -111,19 +141,33 @@ def main(argv=None) -> int:
         assert near.any(), f"read {r}: origin candidate missing"
 
     t0 = time.time()
-    aligner = JaxTileAligner(
-        tile_size=params.tile_size,
-        early_terminate=params.early_terminate, match=params.match,
-        mismatch=params.mismatch, gap_open=params.gap_open,
-        gap_extend=params.gap_extend, backend="lax")
-    sp = ScoreParams(params.match, params.mismatch, params.gap_open,
-                     params.gap_extend)
-    recs = run_gact_batch(
-        genome, bank, calls, tile_size=params.tile_size,
-        first_tile_score_threshold=params.first_tile_score_threshold,
-        sp=sp, complement=False, same_file=False, aligner=aligner,
-        batch_size=64)
-    print(f"GACT: {len(recs)} records ({time.time()-t0:.0f} s)")
+    if args.engine == "device":
+        # Whole-loop device engine on the real >2^31 banks: exercises
+        # the split (row, rem) addressing and span-fetch production
+        # path (device_batch._split_offsets) end-to-end.
+        from darwin_tpu.pipeline import run_device_merged
+        rev_bank = SeqBank([_revcomp_codes(r) for r in reads])
+        recs, _ = run_device_merged(
+            genome, table, bank, rev_bank, params, same_file=False,
+            batch_size=args.batch,
+            backend=args.backend or "auto")
+    else:
+        aligner = JaxTileAligner(
+            tile_size=params.tile_size,
+            early_terminate=params.early_terminate, match=params.match,
+            mismatch=params.mismatch, gap_open=params.gap_open,
+            gap_extend=params.gap_extend,
+            backend=args.backend or "lax")
+        sp = ScoreParams(params.match, params.mismatch,
+                         params.gap_open, params.gap_extend)
+        recs = run_gact_batch(
+            genome, bank, calls, tile_size=params.tile_size,
+            first_tile_score_threshold=(
+                params.first_tile_score_threshold),
+            sp=sp, complement=False, same_file=False, aligner=aligner,
+            batch_size=args.batch)
+    print(f"GACT ({args.engine}): {len(recs)} records "
+          f"({time.time()-t0:.0f} s)")
     ok = 0
     for r in range(args.reads):
         cand = [x for x in recs if x.query_id == r]
@@ -133,8 +177,10 @@ def main(argv=None) -> int:
         print(f"  read {r}: origin chr{last}:{origins[r]} -> "
               f"{len(cand)} records, remapped={hit}")
     assert ok == args.reads, "some reads failed to re-map"
-    print("BIGCOORD DRYRUN OK: seeding, decode and alignment are exact "
-          "past 2^31 global positions")
+    where = ("past 2^31 global positions" if big
+             else "(small-scale smoke; pass --gb 2.4 for >2^31)")
+    print(f"BIGCOORD DRYRUN OK: seeding, decode and alignment are "
+          f"exact {where}")
     return 0
 
 
