@@ -44,3 +44,20 @@ def test_mem_usage_device_mode(tmp_path):
         [sys.executable, str(REPO / "tools/mem_usage.py"), "device"],
         capture_output=True, text=True, env=ENV, cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+@pytest.mark.slow
+def test_bigcoord_dryrun_smoke_both_engines(tmp_path):
+    """Tiny-scale run of the >2^31 coordinate dry-run tool on both the
+    host batch engine and the whole-loop device engine (gather path on
+    CPU; the TPU span-fetch variant of the same script is the manual
+    >2^31 run documented in docs/ROADMAP.md)."""
+    for engine in ("host", "device"):
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools/bigcoord_dryrun.py"),
+             "--gb", "0.002", "--pieces", "2", "--reads", "2",
+             "--read-len", "3000", "--engine", engine,
+             "--backend", "lax", "--cpu"],
+            capture_output=True, text=True, env=ENV, cwd=tmp_path)
+        assert r.returncode == 0, (engine, r.stderr[-2000:])
+        assert "BIGCOORD DRYRUN OK" in r.stdout, (engine, r.stdout)
