@@ -22,6 +22,8 @@ CUDA build needs a Kepler GPU and cannot run here).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -134,5 +136,43 @@ def main() -> None:
     }))
 
 
+def supervised() -> int:
+    """Run the measurement in a child process with bounded retries.
+
+    The axon tunnel can wedge for tens of minutes (a stale chip grant
+    after a killed client, or a relay outage — both observed
+    2026-08-17); a hung backend init inside this process cannot be
+    timed out, so the measurement runs in a child that can.  Normal
+    cold run is ~2-3 min; 15 min per attempt is generous.
+    """
+    for attempt in range(3):
+        if attempt:
+            print(f"bench attempt {attempt} failed; retrying in 120 s",
+                  file=sys.stderr)
+            time.sleep(120)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=900, stdout=subprocess.PIPE, text=True)
+        except subprocess.TimeoutExpired:
+            print("bench attempt timed out (wedged tunnel?)",
+                  file=sys.stderr)
+            continue
+        sys.stdout.write(r.stdout)
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            return 0
+        print(f"bench attempt exited {r.returncode}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "gact_gcups", "value": 0, "unit": "GCUPS",
+        "vs_baseline": 0,
+        "error": "TPU backend unavailable after 3 attempts "
+                 "(see BENCH_NOTES.md for the last measured numbers)",
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(supervised())
