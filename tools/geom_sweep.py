@@ -35,7 +35,9 @@ DEFAULT_MATRIX = [
     (256, 320, 32, "packed6", 1),
     (256, 320, 128, "packed", 1),
     (256, 320, 128, "bytes", 1),
-    (256, 320, 128, "packed6", 2),
+    # interleave streams need block_b >= 128*N (per-stream (8, H)
+    # transposed-ref blocks must keep H a multiple of 128 on hardware).
+    (512, 320, 256, "packed6", 2),
 ]
 
 
