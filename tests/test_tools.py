@@ -61,3 +61,16 @@ def test_bigcoord_dryrun_smoke_both_engines(tmp_path):
             capture_output=True, text=True, env=ENV, cwd=tmp_path)
         assert r.returncode == 0, (engine, r.stderr[-2000:])
         assert "BIGCOORD DRYRUN OK" in r.stdout, (engine, r.stdout)
+
+
+@pytest.mark.slow
+def test_fuzz_soak_smoke(tmp_path):
+    """One fresh de-novo instance through the soak driver (the real
+    soaks run hundreds per round; their tallies live in
+    docs/DESIGN.md)."""
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools/fuzz_soak.py"),
+         "12345", "1"],
+        capture_output=True, text=True, env=ENV, cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SOAK OK: 1 instances exact" in r.stdout, r.stdout
