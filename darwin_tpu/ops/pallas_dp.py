@@ -418,6 +418,15 @@ def align_tiles_pallas(ref: jnp.ndarray, query: jnp.ndarray,
     BB = min(block_b, B)
     assert B % BB == 0, (B, BB)
     assert T % ROWS_PER_STEP == 0, T
+    if not interpret and BB != B and BB % 128 != 0:
+        # Mosaic hardware lowering requires the last block dim be a
+        # multiple of 128 or equal to the full array dim (interpret
+        # mode accepts anything); fail here with the geometry instead
+        # of deep inside pallas_call.  Production always uses
+        # min(128, B), which satisfies this by construction.
+        raise ValueError(
+            f"block_b={BB} with B={B}: TPU lowering needs block_b % "
+            f"128 == 0 or block_b == B")
     assert dir_format in ("bytes", "packed", "packed6"), dir_format
     packed = dir_format != "bytes"
     TJP = _round_up(T + 1, 128)

@@ -117,3 +117,18 @@ def test_pallas_interpret_ilp_streams(B, T, block_b, interleave):
     wantw = np.asarray(pack_dir_words6(want["dir"]))
     np.testing.assert_array_equal(
         np.asarray(got["dir_words"])[:, :, : wantw.shape[2]], wantw)
+
+
+def test_pallas_rejects_sub128_block_when_compiled():
+    """block_b < B with block_b % 128 != 0 cannot lower on TPU
+    hardware (Mosaic block-shape rule); align_tiles_pallas raises a
+    geometry error up front instead of failing inside pallas_call.
+    Interpret mode keeps accepting any block_b (the tests above use
+    4/8)."""
+    rng = np.random.default_rng(0)
+    ref, query, rlen, qlen = make_batch(rng, 256, 24)
+    with pytest.raises(ValueError, match="block_b"):
+        align_tiles_pallas(ref, query, rlen, qlen, match=MATCH,
+                           mismatch=MISMATCH, gap_open=GO,
+                           gap_extend=GE, block_b=32,
+                           interpret=False)

@@ -32,7 +32,10 @@ DEFAULT_MATRIX = [
     (512, 128, 128, "packed6", 1),
     (256, 512, 128, "packed6", 1),
     (256, 320, 256, "packed6", 1),
-    (256, 320, 32, "packed6", 1),
+    # block_b == B (full-array block): the geometry the two-tier
+    # drain's small-B straggler engine compiles.  block_b < B needs
+    # block_b % 128 == 0 on hardware (align_tiles_pallas validates).
+    (32, 320, 32, "packed6", 1),
     (256, 320, 128, "packed", 1),
     (256, 320, 128, "bytes", 1),
     # interleave streams need block_b >= 128*N (per-stream (8, H)
