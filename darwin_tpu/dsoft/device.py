@@ -201,6 +201,22 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
             n, overflow)
 
 
+def bucket_directory(rel_b: np.ndarray, NB: int) -> np.ndarray:
+    """[NB+1] int32 directory: bkt[i] = #entries with bucket id < i.
+
+    Equivalent to np.searchsorted(rel_b, np.arange(NB + 1)) for sorted
+    rel_b in [0, NB), but built by bincount + cumsum — O(n + NB)
+    instead of O(NB log n), which matters at E.coli scale (measured
+    ~8 s -> ~30 ms for nd=1M, NB=4.2M on this host)."""
+    # Cast before cumsum: a mixed-dtype `out=` sends numpy down a
+    # buffered casting loop (~100x slower at NB=4M on this host).
+    counts = np.bincount(rel_b, minlength=NB).astype(np.int32)
+    out = np.empty(NB + 1, np.int32)
+    out[0] = 0
+    np.cumsum(counts, out=out[1:])
+    return out
+
+
 def make_twolevel_index(hashes: np.ndarray, bucket_factor: int = 4):
     """Two-level index over ONE sorted hash array (the replicated
     device table): (hd, crs, bkt, base, shift, steps).  Same structure
@@ -223,7 +239,7 @@ def make_twolevel_index(hashes: np.ndarray, bucket_factor: int = 4):
     while ((span - 1) >> shift) >= NB:
         shift += 1
     rel_b = (vals.astype(np.int64) - base) >> shift
-    bkt = np.searchsorted(rel_b, np.arange(NB + 1)).astype(np.int32)
+    bkt = bucket_directory(rel_b, NB)
     max_width = max(1, int(np.diff(bkt).max()))
     steps = max(1, int(np.ceil(np.log2(max_width + 1))))
     # base/shift ride as [1] arrays so sharding specs stay rank-1.

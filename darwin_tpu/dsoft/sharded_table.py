@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from darwin_tpu.dsoft.device import _query_minimizers_fixed
+from darwin_tpu.dsoft.device import (_query_minimizers_fixed,
+                                     bucket_directory)
 
 INT32_MAX = np.iinfo(np.int32).max
 _SENTINEL_HASH = np.uint32(0xFFFFFFFF)  # > any 2k-bit hash (k <= 15)
@@ -160,7 +161,7 @@ def make_sharded_dense_index(h_shards: np.ndarray,
             shift += 1
         shifts[s] = shift
         rel_b = (hds[s].astype(np.int64) - bases[s]) >> shift
-        bkt[s] = np.searchsorted(rel_b, np.arange(NB + 1))
+        bkt[s] = bucket_directory(rel_b, NB)
         if nd:
             max_width = max(max_width, int(np.diff(bkt[s]).max()))
     steps = max(1, int(np.ceil(np.log2(max_width + 1))))
