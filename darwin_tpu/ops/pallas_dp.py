@@ -112,13 +112,19 @@ def _tile_math(T: int, TJP: int, match: int, mismatch: int,
         sv.update(state)
         return sv
 
+    # Head fill for the shifted query: a value no ref char equals
+    # makes lane 0 an automatic mismatch, so m_new[0] =
+    # max(0 + mismatch, 0) = 0 with no explicit lane-0 mask (one
+    # select saved per row).  Only valid when mismatch <= 0.
+    q_fill = -1 if mismatch <= 0 else 0
+
     def init_state(q):
         """Initial DP state (DP row 0) for a raw [H, TJP] query block;
         returned in scratch-write order (see _state_keys)."""
         H = q.shape[0]
         z = jnp.zeros((H, TJP), sdt)
         st = dict(m=z, i=jnp.full((H, TJP), neg_inf, sdt),
-                  qs=shift_right(q.astype(sdt), 1, 0),  # qs[j]=q[j-1]
+                  qs=shift_right(q.astype(sdt), 1, q_fill),
                   bh=jnp.full((H, TJP), -1, sdt), bi=z, ph=z,
                   # max(m, i, d) of DP row 0 = max(0, -inf, -inf) = 0.
                   p3=z)
@@ -141,7 +147,9 @@ def _tile_math(T: int, TJP: int, match: int, mismatch: int,
 
         m_new = jnp.maximum(shift_right(sv["p3"], 1, 0) + match_s,
                             c(0))
-        m_new = jnp.where(sv["l0"], c(0), m_new)
+        if mismatch > 0:
+            # q_fill can't force lane 0 to zero; mask explicitly.
+            m_new = jnp.where(sv["l0"], c(0), m_new)
 
         ins_open = sv["m"] + c(gap_open)
         ins_ext = sv["i"] + c(gap_extend)
@@ -169,20 +177,25 @@ def _tile_math(T: int, TJP: int, match: int, mismatch: int,
 
         # flag_D compares del_open = shift(m_new)+go against
         # del_ext = shift(d_new)+ge; both operands are shifted by
-        # one lane, so compare unshifted and shift the boolean —
-        # saves a full-width shift+add pair.  Head lane: d is -inf,
-        # open wins, so fill with 1.
-        fd_u = (m_new + c(go_minus_ge_v) >= d_new).astype(sdt)
-        flag_d = shift_right(fd_u, 1, 1) != c(0)
+        # one lane, so compare unshifted and shift the flag value
+        # itself — saves a full-width shift+add pair AND the
+        # bool-cast/compare round trip (the flag is added to op
+        # directly below).  Head lane: d is -inf, open wins, so
+        # fill with the flag.
+        fd_u = jnp.where(m_new + c(go_minus_ge_v) >= d_new,
+                         c(GAP_OPEN_FLAG_D), c(0))
+        fd_s = shift_right(fd_u, 1, GAP_OPEN_FLAG_D)
 
-        op = jnp.where(m_new >= i_new,
-                       jnp.where(m_new >= d_new, c(3), c(1)),
-                       jnp.where(i_new >= d_new, c(2), c(1)))
+        # Tie order m > i > d (align.cpp:169-171): m == mx3 iff
+        # m >= i and m >= d; else i == mx3 iff i >= d.  Two compares
+        # against the already-computed max instead of three pairwise.
+        op = jnp.where(m_new == mx3, c(3),
+                       jnp.where(i_new == mx3, c(2), c(1)))
         # h == 0 iff max(m, i, d) <= 0: the reference ZERO rule.
         op = jnp.where(h == c(0), c(0), op)
         op = op + jnp.where(ins_open >= ins_ext,
                             c(GAP_OPEN_FLAG_I), c(0))
-        op = op + jnp.where(flag_d, c(GAP_OPEN_FLAG_D), c(0))
+        op = op + fd_s
         op = op + jnp.where(is_eq, c(MATCH_BIT), c(0))
 
         rvalid = ip1 <= sv["rlen"]

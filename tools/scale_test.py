@@ -49,6 +49,14 @@ def main(argv=None) -> int:
                    help="reference-guided mode: reads vs the genome "
                         "itself (ref != reads, BASELINE configs[1]) "
                         "instead of self-overlap")
+    p.add_argument("--only", choices=["both", "ref", "tpu"],
+                   default="both",
+                   help="split the differential across processes: "
+                        "'ref' generates the dataset and runs only the "
+                        "reference binary (CPU; start it first, it is "
+                        "hours at large scale on this box), 'tpu' runs "
+                        "only darwin-tpu and diffs against the "
+                        "ref.darwin the 'ref' phase left in workdir")
     args = p.parse_args(argv)
 
     from darwin_tpu.config import Params
@@ -60,74 +68,96 @@ def main(argv=None) -> int:
     work.mkdir(parents=True, exist_ok=True)
     fasta = work / "reads.fasta"
 
-    rng = np.random.default_rng(args.seed)
-    genome = synth_genome(args.genome, rng)
-    reads = sample_reads(genome, args.reads, args.read_len, rng,
-                         error_rate=args.error, rc_fraction=0.5)
-    write_fasta(fasta, reads)
-    if args.guided:
-        ref_fasta = work / "genome.fasta"
-        write_fasta(ref_fasta, [("genome_0", genome)])
+    ref_fasta = (work / "genome.fasta") if args.guided else fasta
+    if args.only == "tpu" and fasta.exists() and ref_fasta.exists():
+        # The 'ref' phase already wrote the (seed-deterministic)
+        # dataset; at 250 Mb regeneration costs minutes.
+        pass
     else:
-        ref_fasta = fasta
+        rng = np.random.default_rng(args.seed)
+        genome = synth_genome(args.genome, rng)
+        reads = sample_reads(genome, args.reads, args.read_len, rng,
+                             error_rate=args.error, rc_fraction=0.5)
+        write_fasta(fasta, reads)
+        if args.guided:
+            write_fasta(ref_fasta, [("genome_0", genome)])
     print(f"dataset: {args.reads} x {args.read_len} bp reads over "
           f"{args.genome} bp genome -> {fasta}"
           + (" (guided: vs the genome)" if args.guided else ""))
 
-    params = Params()
-    records = parse_fasta(fasta)
-    ref_records = parse_fasta(ref_fasta) if args.guided else records
-    same_file = not args.guided
-    engine = "device" if _on_accelerator() else "host"
-    t0 = time.time()
-    res = run_pipeline(ref_records, records, params,
-                       same_file=same_file,
-                       batch_size=args.batch_size, engine=engine)
-    cold = time.time() - t0
-    # Two warm runs, keep the best: device_put throughput over the
-    # tunnel fluctuates and the first warm run still pays one-time jit
-    # tracing of small helpers.
-    warm = float("inf")
-    for _ in range(2):
+    ours = None
+    if args.only != "ref":
+        params = Params()
+        records = parse_fasta(fasta)
+        ref_recs = parse_fasta(ref_fasta) if args.guided else records
+        same_file = not args.guided
+        engine = "device" if _on_accelerator() else "host"
         t0 = time.time()
-        res = run_pipeline(ref_records, records, params,
+        res = run_pipeline(ref_recs, records, params,
                            same_file=same_file,
                            batch_size=args.batch_size, engine=engine)
-        warm = min(warm, time.time() - t0)
-    ours = sorted(set(res.records))
-    (work / "ours.darwin").write_text("\n".join(ours) + "\n")
-    print(f"darwin-tpu: cold {cold:.1f} s, warm {warm:.1f} s "
-          f"({args.reads / warm:.1f} reads/s), {len(ours)} unique records")
+        cold = time.time() - t0
+        # Two warm runs, keep the best: device_put throughput over the
+        # tunnel fluctuates and the first warm run still pays one-time
+        # jit tracing of small helpers.
+        warm = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            res = run_pipeline(ref_recs, records, params,
+                               same_file=same_file,
+                               batch_size=args.batch_size,
+                               engine=engine)
+            warm = min(warm, time.time() - t0)
+        ours = sorted(set(res.records))
+        (work / "ours.darwin").write_text("\n".join(ours) + "\n")
+        print(f"darwin-tpu: cold {cold:.1f} s, warm {warm:.1f} s "
+              f"({args.reads / warm:.1f} reads/s), "
+              f"{len(ours)} unique records")
 
-    if not args.darwin or not Path(args.darwin).exists():
-        print("no reference binary given; skipping differential")
-        return 0
+    if args.only == "tpu":
+        ref_out = work / "ref.darwin"
+        if not ref_out.exists():
+            print("no ref.darwin in workdir (run --only ref first); "
+                  "skipping differential")
+            return 0
+        ref_records = ref_out.read_text().splitlines()
+    else:
+        if not args.darwin or not Path(args.darwin).exists():
+            print("no reference binary given; skipping differential")
+            return 0
+        refdir = work / "ref"
+        refdir.mkdir(exist_ok=True)
+        (refdir / "reads.fasta").write_bytes(fasta.read_bytes())
+        if args.guided:
+            (refdir / "genome.fasta").write_bytes(ref_fasta.read_bytes())
+        cfg = Path(args.darwin).parent / "params.cfg"
+        if not cfg.exists():
+            cfg = REPO.parent / "reference" / "params.cfg"
+        (refdir / "params.cfg").write_bytes(cfg.read_bytes())
+        t0 = time.time()
+        ref_arg = "genome.fasta" if args.guided else "reads.fasta"
+        subprocess.run([str(Path(args.darwin).resolve()), ref_arg,
+                        "reads.fasta", str(args.threads)],
+                       cwd=refdir, check=True, capture_output=True)
+        ref_t = time.time() - t0
+        ref_records = sorted(set(
+            line for f in sorted(refdir.glob("darwin.*.out"))
+            for line in f.read_text().splitlines()))
+        (work / "ref.darwin").write_text("\n".join(ref_records) + "\n")
+        (work / "ref.wall").write_text(f"{ref_t:.1f}\n")
+        print(f"reference: {ref_t:.1f} s "
+              f"({args.reads / ref_t:.1f} reads/s), "
+              f"{len(ref_records)} unique records")
+        if args.only == "ref":
+            return 0
 
-    refdir = work / "ref"
-    refdir.mkdir(exist_ok=True)
-    (refdir / "reads.fasta").write_bytes(fasta.read_bytes())
-    if args.guided:
-        (refdir / "genome.fasta").write_bytes(ref_fasta.read_bytes())
-    cfg = Path(args.darwin).parent / "params.cfg"
-    if not cfg.exists():
-        cfg = REPO.parent / "reference" / "params.cfg"
-    (refdir / "params.cfg").write_bytes(cfg.read_bytes())
-    t0 = time.time()
-    ref_arg = "genome.fasta" if args.guided else "reads.fasta"
-    subprocess.run([str(Path(args.darwin).resolve()), ref_arg,
-                    "reads.fasta", str(args.threads)],
-                   cwd=refdir, check=True, capture_output=True)
-    ref_t = time.time() - t0
-    ref_records = sorted(set(
-        line for f in sorted(refdir.glob("darwin.*.out"))
-        for line in f.read_text().splitlines()))
-    (work / "ref.darwin").write_text("\n".join(ref_records) + "\n")
-    print(f"reference: {ref_t:.1f} s ({args.reads / ref_t:.1f} reads/s), "
-          f"{len(ref_records)} unique records")
-
+    if args.only == "tpu":
+        wall = work / "ref.wall"
+        ref_t = float(wall.read_text()) if wall.exists() else None
     if ours == ref_records:
-        print(f"PARITY: EXACT ({len(ours)} records); "
-              f"speedup {ref_t / warm:.0f}x")
+        speed = (f"; speedup {ref_t / warm:.0f}x"
+                 if ref_t is not None else "")
+        print(f"PARITY: EXACT ({len(ours)} records){speed}")
         return 0
     missing = set(ref_records) - set(ours)
     extra = set(ours) - set(ref_records)
