@@ -25,8 +25,11 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
 
+# -march=native is safe here: the .so is compiled on this machine at
+# first import (and rebuilt whenever the source is newer), never
+# shipped; it lets the compiler vectorize the hash/window-min kernels.
 _CXX_FLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-              "-funroll-loops", "-Wall"]
+              "-funroll-loops", "-march=native", "-Wall"]
 
 
 def _build() -> bool:

@@ -28,10 +28,6 @@
 #include <thread>
 #include <vector>
 
-#if defined(_OPENMP)
-#include <parallel/algorithm>
-#endif
-
 namespace {
 
 // ---------------------------------------------------------------- coding
@@ -80,6 +76,87 @@ inline uint32_t seed_at(const std::vector<uint32_t>& words, int64_t p,
   return static_cast<uint32_t>((concat >> (2 * shift)) & mask2k);
 }
 
+// Hashes of the k-mers at positions [p0, p1) written to out[0..p1-p0).
+// The body handles 16 positions (one packed word pair) per iteration
+// with straight-line 32-bit ops so the compiler vectorizes both the
+// seed extraction (variable 64-bit shifts) and the Wang hash chain —
+// the scalar ring-buffer form of this scan ran ~6x slower on AVX2.
+void hash_positions(const std::vector<uint32_t>& words, int64_t p0,
+                    int64_t p1, uint32_t mask, uint32_t* out) {
+  const uint64_t mask64 = mask;
+  const int64_t n = p1 - p0;
+  int64_t i = 0;
+  while (i < n && ((p0 + i) & 15) != 0) {
+    out[i] = hash32(seed_at(words, p0 + i, mask64), mask);
+    ++i;
+  }
+  for (; i + 16 <= n; i += 16) {
+    const size_t idx = static_cast<size_t>((p0 + i) >> 4);
+    const uint64_t concat =
+        (static_cast<uint64_t>(words[idx + 1]) << 32) | words[idx];
+    uint32_t s[16];
+    for (int t = 0; t < 16; ++t)
+      s[t] = static_cast<uint32_t>((concat >> (2 * t)) & mask64);
+    for (int t = 0; t < 16; ++t) {
+      uint32_t key = s[t];
+      key = (~key + (key << 21)) & mask;
+      key = key ^ (key >> 24);
+      key = ((key + (key << 3)) + (key << 8)) & mask;
+      key = key ^ (key >> 14);
+      key = ((key + (key << 2)) + (key << 4)) & mask;
+      key = key ^ (key >> 28);
+      key = (key + (key << 31)) & mask;
+      out[i + t] = key;
+    }
+  }
+  for (; i < n; ++i)
+    out[i] = hash32(seed_at(words, p0 + i, mask64), mask);
+}
+
+// Window minima for positions [p0, p0+n): wmin[i] = min of the hashes
+// at positions p0+i-w+1 .. p0+i (the w-window ending at p0+i, exactly
+// the ring-buffer semantics).  h must hold n + w - 1 entries.
+void wmin_chunk(const std::vector<uint32_t>& words, uint32_t mask, int w,
+                int64_t p0, int64_t n, uint32_t* h, uint32_t* wmin) {
+  hash_positions(words, p0 - w + 1, p0 + n, mask, h);
+  for (int64_t i = 0; i < n; ++i) wmin[i] = h[i];
+  for (int d = 1; d < w; ++d)
+    for (int64_t i = 0; i < n; ++i)
+      wmin[i] = std::min(wmin[i], h[i + d]);
+}
+
+// Stable LSD radix sort of (hash << 32) | pos keys on the 2k hash bits.
+// Scan order already has positions ascending, so two stable counting
+// passes on the hash give the fully sorted order the reference's
+// __gnu_parallel::sort produces (seed_pos_table.cpp:71) in O(n) — the
+// comparison sort was the build's second-largest term at 250 Mb.
+void sort_keys_by_hash(std::vector<uint64_t>* v, int k) {
+  const size_t n = v->size();
+  if (n < 2) return;
+  const int bits = 2 * k;
+  const int b1 = bits / 2;
+  const int b2 = bits - b1;
+  std::vector<uint64_t> tmp(n);
+  {
+    const uint32_t m1 = (1u << b1) - 1;
+    std::vector<uint32_t> cnt((size_t{1} << b1) + 1, 0);
+    for (size_t i = 0; i < n; ++i)
+      ++cnt[(static_cast<uint32_t>((*v)[i] >> 32) & m1) + 1];
+    for (size_t b = 1; b < cnt.size(); ++b) cnt[b] += cnt[b - 1];
+    for (size_t i = 0; i < n; ++i)
+      tmp[cnt[static_cast<uint32_t>((*v)[i] >> 32) & m1]++] = (*v)[i];
+  }
+  {
+    const uint32_t m2 = (1u << b2) - 1;
+    std::vector<uint32_t> cnt((size_t{1} << b2) + 1, 0);
+    for (size_t i = 0; i < n; ++i)
+      ++cnt[(static_cast<uint32_t>(tmp[i] >> (32 + b1)) & m2) + 1];
+    for (size_t b = 1; b < cnt.size(); ++b) cnt[b] += cnt[b - 1];
+    for (size_t i = 0; i < n; ++i)
+      (*v)[cnt[static_cast<uint32_t>(tmp[i] >> (32 + b1)) & m2]++] = tmp[i];
+  }
+}
+
 // w-window minimizer scan.  `query_conv` selects the word-count
 // convention: reference genome uses s_len = 1 + len/16, queries use
 // ceil(len/16) — the scan range 16*s_len - k - w deliberately covers
@@ -97,25 +174,28 @@ void minimizer_scan(const uint8_t* seq, int64_t len, int k, int w,
 
   const std::vector<uint32_t> words = pack_words(seq, len, s_len + 1);
   const uint32_t mask = static_cast<uint32_t>((1ull << (2 * k)) - 1);
-  const uint64_t mask64 = mask;
 
-  // Ring buffer of the last w hashes.
-  std::vector<uint32_t> ring(static_cast<size_t>(w));
-  for (int64_t p = 0; p < lo; ++p)
-    ring[static_cast<size_t>(p % w)] = hash32(seed_at(words, p, mask64), mask);
-
+  // Chunked: vectorized hash + window-min arrays, then the (cheap)
+  // sequential emit rule — emit when the window minimum differs from
+  // the last emitted one or the window advanced >= w positions since
+  // the last emission (last_m = last_p = 0 initially).
+  constexpr int64_t C = 8192;
+  std::vector<uint32_t> h(static_cast<size_t>(C + w + 15));
+  std::vector<uint32_t> wmin(static_cast<size_t>(C));
   uint32_t last_m = 0;
   int64_t last_p = 0;
-  for (int64_t p = lo; p < hi; ++p) {
-    ring[static_cast<size_t>(p % w)] =
-        hash32(seed_at(words, p, mask64), mask);
-    uint32_t m = ring[0];
-    for (int i = 1; i < w; ++i) m = std::min(m, ring[static_cast<size_t>(i)]);
-    if (m != last_m || p - last_p >= w) {
-      out_pm->push_back((static_cast<uint64_t>(m) << 32) |
-                        static_cast<uint64_t>(p));
-      last_m = m;
-      last_p = p;
+  for (int64_t p0 = lo; p0 < hi; p0 += C) {
+    const int64_t n = std::min(C, hi - p0);
+    wmin_chunk(words, mask, w, p0, n, h.data(), wmin.data());
+    for (int64_t i = 0; i < n; ++i) {
+      const uint32_t m = wmin[static_cast<size_t>(i)];
+      const int64_t p = p0 + i;
+      if (m != last_m || p - last_p >= w) {
+        out_pm->push_back((static_cast<uint64_t>(m) << 32) |
+                          static_cast<uint64_t>(p));
+        last_m = m;
+        last_p = p;
+      }
     }
   }
 }
@@ -185,7 +265,8 @@ void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w,
     };
 
     // Pass A: change points, in parallel chunks (virtual change at lo
-    // when m(lo) != 0, matching last_m = 0 initially).
+    // when m(lo) != 0, matching last_m = 0 initially).  Window minima
+    // come from the vectorized chunk kernel.
     const int nt = nthreads;
     std::vector<std::vector<int64_t>> changes(
         static_cast<size_t>(nt));
@@ -197,11 +278,18 @@ void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w,
           const int64_t a = lo + t * span;
           const int64_t b = std::min(hi, a + span);
           auto& out = changes[static_cast<size_t>(t)];
+          constexpr int64_t C = 8192;
+          std::vector<uint32_t> h(static_cast<size_t>(C + w + 15));
+          std::vector<uint32_t> wmin(static_cast<size_t>(C));
           uint32_t prev = (a == lo) ? 0 : win_min(a - 1);
-          for (int64_t p = a; p < b; ++p) {
-            const uint32_t m = win_min(p);
-            if (m != prev) out.push_back(p);
-            prev = m;
+          for (int64_t p0 = a; p0 < b; p0 += C) {
+            const int64_t n = std::min(C, b - p0);
+            wmin_chunk(words, mask, w, p0, n, h.data(), wmin.data());
+            for (int64_t i = 0; i < n; ++i) {
+              const uint32_t m = wmin[static_cast<size_t>(i)];
+              if (m != prev) out.push_back(p0 + i);
+              prev = m;
+            }
           }
         });
       }
@@ -212,16 +300,22 @@ void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w,
     for (auto& c : changes) cps.insert(cps.end(), c.begin(), c.end());
     cps.push_back(hi);
 
-    // Pass B: per-run emissions, parallel over runs.
+    // Pass B: per-run emissions, parallel over contiguous run blocks —
+    // contiguous (not strided) so the concatenated output keeps scan
+    // (position) order within every hash, which the stable radix sort
+    // below relies on.
     std::vector<std::vector<uint64_t>> outs(static_cast<size_t>(nt));
     {
       std::vector<std::thread> ths;
       const size_t nruns = cps.size() - 1;
+      const size_t per_t = (nruns + static_cast<size_t>(nt) - 1) /
+                           static_cast<size_t>(nt);
       for (int t = 0; t < nt; ++t) {
         ths.emplace_back([&, t]() {
           auto& out = outs[static_cast<size_t>(t)];
-          for (size_t i = static_cast<size_t>(t); i < nruns;
-               i += static_cast<size_t>(nt)) {
+          const size_t r0 = static_cast<size_t>(t) * per_t;
+          const size_t r1 = std::min(nruns, r0 + per_t);
+          for (size_t i = r0; i < r1; ++i) {
             const int64_t c = cps[i];
             const int64_t next_c = cps[i + 1];
             // First emission of the run: the change point itself, or
@@ -245,11 +339,7 @@ void* dt_build_table(const uint8_t* ref, int64_t len, int k, int w,
     buf->v.reserve(total);
     for (auto& o : outs) buf->v.insert(buf->v.end(), o.begin(), o.end());
   }
-#if defined(_OPENMP)
-  __gnu_parallel::sort(buf->v.begin(), buf->v.end());
-#else
-  std::sort(buf->v.begin(), buf->v.end());
-#endif
+  sort_keys_by_hash(&buf->v, k);
   return buf;
 }
 
