@@ -49,6 +49,10 @@ def main(argv=None) -> int:
                    help="reference-guided mode: reads vs the genome "
                         "itself (ref != reads, BASELINE configs[1]) "
                         "instead of self-overlap")
+    p.add_argument("--params", default=None,
+                   help="params.cfg used by BOTH pipelines (e.g. "
+                        "configs/tpu.cfg for the TPU tile geometry); "
+                        "default: reference defaults")
     p.add_argument("--only", choices=["both", "ref", "tpu"],
                    default="both",
                    help="split the differential across processes: "
@@ -87,7 +91,8 @@ def main(argv=None) -> int:
 
     ours = None
     if args.only != "ref":
-        params = Params()
+        params = (Params.from_cfg(args.params) if args.params
+                  else Params())
         records = parse_fasta(fasta)
         ref_recs = parse_fasta(ref_fasta) if args.guided else records
         same_file = not args.guided
@@ -130,9 +135,12 @@ def main(argv=None) -> int:
         (refdir / "reads.fasta").write_bytes(fasta.read_bytes())
         if args.guided:
             (refdir / "genome.fasta").write_bytes(ref_fasta.read_bytes())
-        cfg = Path(args.darwin).parent / "params.cfg"
-        if not cfg.exists():
-            cfg = REPO.parent / "reference" / "params.cfg"
+        if args.params:
+            cfg = Path(args.params)
+        else:
+            cfg = Path(args.darwin).parent / "params.cfg"
+            if not cfg.exists():
+                cfg = REPO.parent / "reference" / "params.cfg"
         (refdir / "params.cfg").write_bytes(cfg.read_bytes())
         t0 = time.time()
         ref_arg = "genome.fasta" if args.guided else "reads.fasta"
