@@ -12,7 +12,8 @@ from darwin_tpu.pipeline import run_pipeline
                                            ("small", 128), ("noisy", 64),
                                            ("nbase", 64), ("lcase", 64),
                                            ("hierror", 64),
-                                           ("seedcap", 64)])
+                                           ("seedcap", 64),
+                                           ("tpucfg", 64)])
 @pytest.mark.slow
 def test_pipeline_matches_reference(data_dir, fixture, batch):
     d = data_dir / fixture

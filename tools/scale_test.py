@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--threads", type=int, default=8,
                    help="reference binary CPU threads")
+    p.add_argument("--chromosomes", type=int, default=1,
+                   help="split the synthetic genome into C FASTA "
+                        "records (guided mode only).  Mirrors real "
+                        "genome shape AND keeps per-chromosome "
+                        "positions below the reference binary's int "
+                        "ref_pos limit (gact.cpp:51) at 3 Gb scale")
     p.add_argument("--guided", action="store_true",
                    help="reference-guided mode: reads vs the genome "
                         "itself (ref != reads, BASELINE configs[1]) "
@@ -79,12 +85,28 @@ def main(argv=None) -> int:
         pass
     else:
         rng = np.random.default_rng(args.seed)
-        genome = synth_genome(args.genome, rng)
-        reads = sample_reads(genome, args.reads, args.read_len, rng,
-                             error_rate=args.error, rc_fraction=0.5)
-        write_fasta(fasta, reads)
-        if args.guided:
-            write_fasta(ref_fasta, [("genome_0", genome)])
+        C = max(1, args.chromosomes)
+        if C > 1:
+            assert args.guided, "--chromosomes needs --guided"
+            chroms, reads = [], []
+            for c in range(C):
+                n = args.genome // C
+                r = args.reads // C + (1 if c < args.reads % C else 0)
+                g = synth_genome(n, rng)
+                chroms.append((f"chr{c}", g))
+                for name, seq in sample_reads(
+                        g, r, args.read_len, rng,
+                        error_rate=args.error, rc_fraction=0.5):
+                    reads.append((f"c{c}{name}", seq))
+            write_fasta(fasta, reads)
+            write_fasta(ref_fasta, chroms)
+        else:
+            genome = synth_genome(args.genome, rng)
+            reads = sample_reads(genome, args.reads, args.read_len, rng,
+                                 error_rate=args.error, rc_fraction=0.5)
+            write_fasta(fasta, reads)
+            if args.guided:
+                write_fasta(ref_fasta, [("genome_0", genome)])
     print(f"dataset: {args.reads} x {args.read_len} bp reads over "
           f"{args.genome} bp genome -> {fasta}"
           + (" (guided: vs the genome)" if args.guided else ""))
