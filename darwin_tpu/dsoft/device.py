@@ -296,15 +296,16 @@ def dense_hash_index(table_hashes, k: int):
 def default_index_mode(k: int) -> str:
     """Default hash-lookup strategy for the device D-SOFT.
 
-    "dense" (CSR gathers over 4^k) cuts the dominant lookup cost ~15x
-    in the stage measurements, but compiling the batch program with
-    dense gathers wedges THIS environment's remote compile service for
-    >60 min (observed twice, 2026-08-17) — so it stays opt-in
-    (index="dense") until the toolchain handles it; both paths are
-    golden-parity tested.  Binary search everywhere by default.
+    "twolevel" (bucket directory over distinct hashes + a short fixed
+    binary refine) replaces the two ~23-step binary searches per
+    minimizer with a handful of gathers, without the 4^k dense array
+    whose device compile wedges THIS environment's remote compile
+    service for >60 min ("dense" stays opt-in until the toolchain
+    handles it).  All three paths are golden-parity tested
+    (tests/test_dsoft_device.py); numbers in BENCH_NOTES.md.
     """
     del k
-    return "searchsorted"
+    return "twolevel"
 
 
 @functools.partial(
