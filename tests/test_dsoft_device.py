@@ -152,6 +152,12 @@ def test_collect_calls_device_matches_host():
     np.testing.assert_array_equal(dev.query_id, host.query_id)
     np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
     np.testing.assert_array_equal(dev.query_pos, host.query_pos)
+    # The production default is the wedge-free two-level index (the
+    # dense 4^k CSR wedges this environment's remote compiler) — the
+    # "auto" path above must have built and cached it on the table.
+    from darwin_tpu.dsoft.device import default_index_mode
+    assert default_index_mode(table.k) == "twolevel"
+    assert getattr(table, "_twolevel", None) is not None
 
 
 @pytest.mark.parametrize("seed", [3, 11])
