@@ -5,7 +5,13 @@ dsoft_device_batch timed with a device_get fence.  One mode per
 invocation: the dense 4^k path is known to wedge this environment's
 remote compiler, so any new mode gets its own process.
 
-Usage: python tools/dsoft_stage.py {searchsorted|twolevel} [R]
+Usage: python tools/dsoft_stage.py {searchsorted|twolevel} [R] [L]
+
+L (read length, default 10000) sets the minimizer-scan unroll and so
+the compiled program size: over the tunnel relay the 10 kb program's
+compile can exceed 15 min (observed 2026-08-18), while shorter reads
+compile in the usual 1-3 min — use L=2000 for a feasible on-chip A/B
+(the lookup stage under test is L-independent per lane).
 """
 
 import sys
@@ -20,6 +26,7 @@ import numpy as np  # noqa: E402
 def main() -> int:
     mode = sys.argv[1]
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    L = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
     import jax
 
     from darwin_tpu.dsoft.device import (dsoft_device_batch,
@@ -38,9 +45,9 @@ def main() -> int:
 
     reads = []
     for _ in range(R):
-        s = int(rng.integers(0, G - 10_000))
-        r = ref[s:s + 10_000].copy()
-        mut = rng.random(10_000) < 0.12
+        s = int(rng.integers(0, G - L))
+        r = ref[s:s + L].copy()
+        mut = rng.random(L) < 0.12
         r[mut] = rng.choice(alpha, size=int(mut.sum()))
         reads.append(r)
     bank = SeqBank(reads)
