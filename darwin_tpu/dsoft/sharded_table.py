@@ -55,6 +55,22 @@ for _c, _v in (("a", 0), ("A", 0), ("c", 1), ("C", 1),
     _TWOBIT_LUT[ord(_c)] = _v
 
 
+def shard_bounds(hashes: np.ndarray, n_shards: int) -> list[int]:
+    """Entry-count-balanced split points into a sorted hash array,
+    advanced so no hash value spans two shards ([n_shards+1] list)."""
+    n = len(hashes)
+    bounds = [0]
+    for s in range(1, n_shards):
+        t = s * n // n_shards
+        # advance to the end of the run of equal hashes
+        while t < n and t > 0 and hashes[t] == hashes[t - 1]:
+            t += 1
+        t = max(t, bounds[-1])
+        bounds.append(t)
+    bounds.append(n)
+    return bounds
+
+
 def make_sharded_table(hashes: np.ndarray, pos: np.ndarray,
                        n_shards: int
                        ) -> tuple[np.ndarray, np.ndarray]:
@@ -66,15 +82,7 @@ def make_sharded_table(hashes: np.ndarray, pos: np.ndarray,
     value: a minimizer resolves on exactly one shard.
     """
     n = len(hashes)
-    bounds = [0]
-    for s in range(1, n_shards):
-        t = s * n // n_shards
-        # advance to the end of the run of equal hashes
-        while t < n and t > 0 and hashes[t] == hashes[t - 1]:
-            t += 1
-        t = max(t, bounds[-1])
-        bounds.append(t)
-    bounds.append(n)
+    bounds = shard_bounds(hashes, n_shards)
     nm = max(bounds[i + 1] - bounds[i] for i in range(n_shards))
     nm = max(nm, 1)
     h_out = np.full((n_shards, nm), _SENTINEL_HASH, dtype=np.uint32)
@@ -167,6 +175,87 @@ def make_sharded_dense_index(h_shards: np.ndarray,
     steps = max(1, int(np.ceil(np.log2(max_width + 1))))
     return DenseShardIndex(hd, crs_out, bkt, bases.astype(np.int32),
                            shifts.astype(np.int32), steps)
+
+
+@dataclasses.dataclass
+class ShardedBudgets:
+    """Workload-derived budgets for dsoft_table_sharded_fn, plus the
+    measurements they were derived from (the reference's own fixed
+    nz_bins budget, seed_pos_table.h:33, is the precedent for sizing
+    these from data instead of guessing)."""
+    tup_max: int        # per-device tuple-expansion budget (whole batch)
+    cand_max: int       # per-read candidate slots
+    a2a_cap: int        # per-(src,dst) all_to_all routing budget
+    stats: dict         # observed maxima/means behind the sizing
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+def derive_budgets(table, reads, n_shards: int, *, num_seeds_cap: int,
+                   threshold: int, max_candidates: int,
+                   safety: float = 2.0) -> ShardedBudgets:
+    """Derive (tup_max, cand_max, a2a_cap) from the actual workload.
+
+    Replays the D-SOFT gates on the host for each read (minimizer scan
+    + table occurrence lookup — the cheap part of seeding) and sizes
+    each fixed budget at safety x the observed per-slot maximum,
+    rounded up to a power of two:
+
+    * tup_max: per-device tuple expansion is budgeted over the WHOLE
+      batch (sum over reads of that shard's occurrences, pre
+      hit>=offset filtering — exactly what the kernel's cumsum-budget
+      sees, sharded_table.py counts_l);
+    * a2a_cap: per-(source shard, read-owner destination) tuple count
+      (pre-filter, a conservative superset of the routed tuples);
+    * cand_max: per-read candidate count from the host filtration
+      (dsoft/filter.py, bit-exact vs the golden spec).
+
+    Budget overflow at runtime is still flagged per read, never
+    silent; safety covers workload drift from the derivation set.
+    """
+    from darwin_tpu.coding import query_minimizers
+    from darwin_tpu.dsoft.filter import dsoft as host_dsoft
+
+    bounds = np.asarray(shard_bounds(table.hashes, n_shards))
+    R = len(reads)
+    r_local = -(-R // n_shards)
+    per_shard = np.zeros(n_shards, np.int64)            # tuples by src
+    sd = np.zeros((n_shards, n_shards), np.int64)       # src x dst
+    per_read = np.zeros(R, np.int64)
+    cand = np.zeros(R, np.int64)
+    for r, read in enumerate(reads):
+        offs, hashes = query_minimizers(read, table.k, table.w)
+        start, end = table.lookup(hashes)
+        occ = end - start
+        passing = occ <= table.kmer_max_occurence
+        # zero-occurrence minimizers consume num_seeds budget (hence
+        # the cumsum over `passing`) but expand to no tuples — and
+        # their start index sits past the last shard bound.
+        keep = (passing & (np.cumsum(passing) <= num_seeds_cap + 1)
+                & (occ > 0))
+        src = np.searchsorted(bounds, start[keep], side="right") - 1
+        occk = occ[keep]
+        np.add.at(per_shard, src, occk)
+        np.add.at(sd, (src, np.full(len(src), r // r_local)), occk)
+        per_read[r] = occk.sum()
+        cand[r] = len(host_dsoft(table, read, num_seeds_cap, threshold,
+                                 max_candidates)[0])
+    stats = {
+        "tuples_per_read_mean": float(per_read.mean()),
+        "tuples_per_read_max": int(per_read.max()),
+        "tuples_per_shard_max": int(per_shard.max()),
+        "tuples_src_dst_max": int(sd.max()),
+        "cand_per_read_mean": float(cand.mean()),
+        "cand_per_read_max": int(cand.max()),
+        "n_reads": R, "n_shards": n_shards,
+    }
+    return ShardedBudgets(
+        tup_max=_next_pow2(int(safety * max(1, per_shard.max()))),
+        cand_max=_next_pow2(int(safety * max(1, cand.max()))),
+        a2a_cap=_next_pow2(int(safety * max(1, sd.max()))),
+        stats=stats)
 
 
 def _forward_fill_max(x):

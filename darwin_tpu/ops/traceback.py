@@ -153,11 +153,12 @@ def pack_dir_words6(dirm: jnp.ndarray) -> jnp.ndarray:
     return w + (d2 << 20) + (d3 << 25)
 
 
-@functools.partial(jax.jit, static_argnames=("early_terminate",))
+@functools.partial(jax.jit,
+                   static_argnames=("early_terminate", "compact_b"))
 def traceback_packed6_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
                           query_len: jnp.ndarray, first: jnp.ndarray,
                           max_i: jnp.ndarray, max_j: jnp.ndarray,
-                          *, early_terminate: int):
+                          *, early_terminate: int, compact_b: int = 0):
     """Walk pack_dir_words6 words: 2-4 steps per gather.
 
     Steps A and B work exactly like traceback_packed_jax; when both
@@ -172,6 +173,17 @@ def traceback_packed6_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
     in engine/scoring.py / device _score_ops spans them), and
     (ops != 0) subsequences, step counts, mbits and scores are
     identical to traceback_jax's.
+
+    compact_b > 0 enables two-phase lane compaction (the "ET-early-
+    drop" lever): the full-width loop exits as soon as <= compact_b
+    walkers are still pending (walkers retire at a ZERO op or when
+    either axis hits early_terminate, align.cpp:188), the survivors
+    are compacted into a compact_b-lane batch, and the tail runs at
+    that width — the per-iteration [B] gather is lane-throughput-bound
+    (~11 ns/lane, BENCH_NOTES), so the tail iterations cost
+    compact_b/B of the full-width ones.  The op stream is merged back
+    into the survivors' original lanes at the slots after the phase-1
+    groups, so outputs are bit-identical to compact_b=0.
     """
     B, T, C = words.shape
     ET = early_terminate
@@ -181,6 +193,14 @@ def traceback_packed6_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
     # group advances only 2).  The returned arrays keep this width;
     # consumers already treat zeros as skips.
     SP = 4 * (-(-(S + 1) // 2))
+    if compact_b >= B or B * T * C >= 2 ** 31:
+        compact_b = 0  # nothing to win / flat int32 indexing unsafe
+    # The compact tail appends its groups after phase 1's.  The
+    # longest-pending lane is active in every group of BOTH phases, so
+    # the combined group count obeys the same ceil((S+1)/2) bound; one
+    # spare group absorbs the phase boundary (each phase may end with
+    # a partially-advancing group).
+    SPo = SP + 4 if compact_b else SP
     dt = jnp.int32
     flat = words.reshape(B, T * C)
 
@@ -203,13 +223,17 @@ def traceback_packed6_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
 
     i0 = jnp.where(first, max_i, ref_len).astype(dt)
     j0 = jnp.where(first, max_j, query_len).astype(dt)
-    ops0 = jnp.zeros((SP, B), jnp.uint8)
+    ops0 = jnp.zeros((SPo, B), jnp.uint8)
     zero = jnp.zeros((B,), dt)
 
-    def cond(carry):
+    def pending_of(carry):
         s, ops, pstate, pval, i, j, i_steps, j_steps = carry
-        pending = (pstate != 0) & (i_steps < ET) & (j_steps < ET)
-        return (s + 1 < SP) & jnp.any(pending)
+        return (pstate != 0) & (i_steps < ET) & (j_steps < ET)
+
+    def cond(carry):
+        pending = pending_of(carry)
+        npend = jnp.sum(pending.astype(dt))
+        return (carry[0] + 1 < SPo) & (npend > compact_b)
 
     def substep(state, val, have, i, j, i_steps, j_steps,
                 v_next, have_next):
@@ -237,47 +261,108 @@ def traceback_packed6_jax(words: jnp.ndarray, ref_len: jnp.ndarray,
         return (rec, act, is_m, n_state, n_val, upd,
                 ni, nj, n_is, n_js)
 
-    def step(carry):
-        s, ops, pstate, pval, i, j, i_steps, j_steps = carry
-        w = gather_word(i, j)
-        val = (w >> 5) & 31            # current cell (i, j)
-        state = resolve(pstate, pval, val)
-        true_b = jnp.full((B,), True)
+    def make_step(gather):
+        def step(carry):
+            s, ops, pstate, pval, i, j, i_steps, j_steps = carry
+            w = gather(i, j)
+            val = (w >> 5) & 31            # current cell (i, j)
+            state = resolve(pstate, pval, val)
+            true_b = jnp.full(i.shape, True)
 
-        # Step A: target byte always in the quad.
-        is_m_a = state == 3
-        is_i_a = state == 2
-        vb1 = jnp.where(is_m_a, (w >> 10) & 31,
-                        jnp.where(is_i_a, (w >> 15) & 31, w & 31))
-        rec_a, act_a, _, st1, v1, have1, i1, j1, is1, js1 = substep(
-            state, val, true_b, i, j, i_steps, j_steps, vb1, true_b)
+            # Step A: target byte always in the quad.
+            is_m_a = state == 3
+            is_i_a = state == 2
+            vb1 = jnp.where(is_m_a, (w >> 10) & 31,
+                            jnp.where(is_i_a, (w >> 15) & 31, w & 31))
+            rec_a, act_a, _, st1, v1, have1, i1, j1, is1, js1 = substep(
+                state, val, true_b, i, j, i_steps, j_steps, vb1, true_b)
 
-        # Step B: cell2's byte is in-word only for the MM diagonal
-        # (A and B both match moves).
-        vb2 = (w >> 20) & 31
-        rec_b, act_b, is_m_b, st2, v2, have2, i2, j2, is2, js2 = \
-            substep(st1, v1, have1, i1, j1, is1, js1, vb2,
-                    is_m_a & (st1 == 3))
+            # Step B: cell2's byte is in-word only for the MM diagonal
+            # (A and B both match moves).
+            vb2 = (w >> 20) & 31
+            rec_b, act_b, is_m_b, st2, v2, have2, i2, j2, is2, js2 = \
+                substep(st1, v1, have1, i1, j1, is1, js1, vb2,
+                        is_m_a & (st1 == 3))
 
-        # Step C: cell3's byte needs the MMM diagonal.
-        vb3 = (w >> 25) & 31
-        rec_c, act_c, _, st3, v3, have3, i3, j3, is3, js3 = substep(
-            st2, v2, have2, i2, j2, is2, js2, vb3, st2 == 3)
+            # Step C: cell3's byte needs the MMM diagonal.
+            vb3 = (w >> 25) & 31
+            rec_c, act_c, _, st3, v3, have3, i3, j3, is3, js3 = substep(
+                st2, v2, have2, i2, j2, is2, js2, vb3, st2 == 3)
 
-        # Step D: no further byte; the carry keeps cell3's state/byte.
-        rec_d, act_d, _, st4, v4, _, i4, j4, is4, js4 = substep(
-            st3, v3, have3, i3, j3, is3, js3,
-            jnp.zeros((B,), dt), jnp.zeros((B,), bool))
+            # Step D: no further byte; the carry keeps cell3's
+            # state/byte.
+            rec_d, act_d, _, st4, v4, _, i4, j4, is4, js4 = substep(
+                st3, v3, have3, i3, j3, is3, js3,
+                jnp.zeros_like(i), jnp.zeros(i.shape, bool))
 
-        group = jnp.stack([rec_a, rec_b, rec_c, rec_d]).astype(
-            jnp.uint8)
-        ops = jax.lax.dynamic_update_slice(ops, group, (s, zero[0]))
-        return (s + 4, ops, st4, v4, i4, j4, is4, js4)
+            group = jnp.stack([rec_a, rec_b, rec_c, rec_d]).astype(
+                jnp.uint8)
+            ops = jax.lax.dynamic_update_slice(
+                ops, group, (s, jnp.int32(0)))
+            return (s + 4, ops, st4, v4, i4, j4, is4, js4)
+        return step
 
     carry = (jnp.int32(0), ops0, jnp.full((B,), 3, dt), zero,
              i0, j0, zero, zero)
-    _, raw, _, _, _, _, i_steps, j_steps = jax.lax.while_loop(
-        cond, step, carry)
+    carry = jax.lax.while_loop(cond, make_step(gather_word), carry)
+    if not compact_b:
+        _, raw, _, _, _, _, i_steps, j_steps = carry
+        return raw & 3, raw >= MATCH_BIT, i_steps, j_steps
+
+    K = compact_b
+    flatall = words.reshape(-1)
+    pending1 = pending_of(carry)
+
+    def finish_done(c):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = c
+        return ops, i_steps, j_steps
+
+    def finish_compact(c):
+        s, ops, pstate, pval, i, j, i_steps, j_steps = c
+        pending = (pstate != 0) & (i_steps < ET) & (j_steps < ET)
+        # Stable compaction of the <= K pending lanes (cumsum rank +
+        # one scatter; cheaper than an argsort over B lanes).
+        lane = jax.lax.broadcasted_iota(dt, (B, 1), 0)[:, 0]
+        rank = jnp.cumsum(pending.astype(dt)) - 1
+        selbuf = jnp.full((K,), B, dt).at[
+            jnp.where(pending, rank, K)].set(lane, mode="drop")
+        valid = selbuf < B
+        sel = jnp.minimum(selbuf, B - 1)
+        cols = jnp.where(valid, selbuf, B)  # OOB -> dropped on merge
+
+        ps2 = jnp.where(valid, pstate[sel], 0)
+        base2 = sel * (T * C)
+
+        def gather2(ii, jj):
+            idx = (base2 + jnp.clip(ii - 1, 0, T - 1) * C
+                   + jnp.clip(jj - 1, 0, C - 1))
+            w = jnp.take(flatall, idx)
+            return jnp.where((ii >= 1) & (jj >= 1), w, 0)
+
+        carry2 = (jnp.int32(0), jnp.zeros((SPo, K), jnp.uint8),
+                  ps2, pval[sel], i[sel], j[sel],
+                  i_steps[sel], j_steps[sel])
+
+        def cond2(c2):
+            return (c2[0] + 1 < SPo) & jnp.any(pending_of(c2))
+
+        _, ops2, _, _, _, _, is2, js2 = jax.lax.while_loop(
+            cond2, make_step(gather2), carry2)
+
+        # Merge: scatter the narrow op stream back to its lanes and
+        # shift it to start at the first slot after phase 1's groups
+        # (slot sets are disjoint: phase 1 wrote nothing at >= s, and
+        # the combined group-count bound keeps the roll from wrapping
+        # any nonzero row).
+        wide = jnp.zeros((SPo, B), jnp.uint8).at[:, cols].set(
+            ops2, mode="drop")
+        ops = ops | jnp.roll(wide, s, axis=0)
+        i_steps = i_steps.at[cols].set(is2, mode="drop")
+        j_steps = j_steps.at[cols].set(js2, mode="drop")
+        return ops, i_steps, j_steps
+
+    raw, i_steps, j_steps = jax.lax.cond(
+        jnp.any(pending1), finish_compact, finish_done, carry)
     return raw & 3, raw >= MATCH_BIT, i_steps, j_steps
 
 

@@ -207,6 +207,45 @@ def test_sharded_table_all_to_all_exchange(seed, threshold):
     _check(gt, reads, out, threshold)
 
 
+@pytest.mark.parametrize("exchange", ["all_to_all", "all_gather"])
+def test_collect_calls_table_sharded_matches_host(exchange):
+    """The pipeline-level table-sharded collector (derived budgets,
+    a2a default) must produce exactly the host collector's anchors."""
+    from darwin_tpu.config import Params
+    from darwin_tpu.engine.seqbank import SeqBank
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.io.fasta import FastaRecord
+    from darwin_tpu.pipeline import (_collect_calls_python,
+                                     collect_calls_table_sharded)
+
+    rng = np.random.default_rng(71)
+    ref = rng.choice(ALPHA, size=60_000).astype(np.uint8)
+    params = Params(seed_size=12, threshold=12)
+    table = SeedTable.build(ref, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    genome = Genome([FastaRecord(["g"], ref.tobytes().decode())],
+                    params.bin_size)
+    reads = []
+    for _ in range(16):
+        s = int(rng.integers(0, 55_000))
+        r = ref[s:s + int(rng.integers(800, 2500))].copy()
+        mut = rng.random(len(r)) < 0.1
+        r[mut] = rng.choice(ALPHA, size=int(mut.sum()))
+        reads.append(r)
+    bank = SeqBank(reads)
+    mesh = make_mesh(8)
+    got = collect_calls_table_sharded(table, genome, bank, params,
+                                      mesh, exchange=exchange)
+    want = _collect_calls_python(table, genome, bank, params,
+                                 range(len(reads)))
+    assert len(got) == len(want) > 0
+    for f in ("ref_id", "query_id", "ref_pos", "query_pos"):
+        np.testing.assert_array_equal(getattr(got, f),
+                                      getattr(want, f), err_msg=f)
+
+
 def test_sharded_table_a2a_cap_overflow_flagged():
     gt, reads = _fixture(47, repetitive=True, err=0.02)
     mesh = make_mesh(8)

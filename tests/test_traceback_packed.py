@@ -145,6 +145,42 @@ def test_packed6_walk_semantics(T, div, ragged, et):
         assert prefix_ok
 
 
+@pytest.mark.parametrize("T,div,ragged,et,kb", [
+    (40, 0.05, False, 24, 4),
+    (40, 0.5, True, 24, 8),
+    (64, 0.02, True, 40, 1),
+    (32, 0.9, False, 200, 16),
+    (48, 0.3, True, 30, 31),   # compact_b almost B: phase 2 from go
+])
+def test_packed6_compact_matches_full(T, div, ragged, et, kb):
+    """compact_b lane compaction is bit-identical to the full-width
+    walk: same op values in the same slots, same step counts."""
+    from darwin_tpu.ops.traceback import (pack_dir_words6,
+                                          traceback_packed6_jax)
+
+    rng = np.random.default_rng(T * 13 + int(div * 100) + kb)
+    B = 32
+    refs, queries, rlen, qlen = _random_tiles(rng, B, T, div, ragged)
+    firsts = np.zeros(B, bool)
+    firsts[::2] = True
+    out = align_tiles_jax(refs, queries, rlen, qlen, match=1,
+                          mismatch=-1, gap_open=-1, gap_extend=-1)
+    w6 = pack_dir_words6(out["dir"])
+    a = [np.asarray(x) for x in traceback_packed6_jax(
+        w6, rlen, qlen, firsts, out["max_i"], out["max_j"],
+        early_terminate=et)]
+    b = [np.asarray(x) for x in traceback_packed6_jax(
+        w6, rlen, qlen, firsts, out["max_i"], out["max_j"],
+        early_terminate=et, compact_b=kb)]
+    # The compact variant's buffer has one spare group; beyond the
+    # shared height it must be empty.
+    assert b[0].shape[0] == a[0].shape[0] + 4
+    assert (b[0][a[0].shape[0]:] == 0).all()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y[: len(x)] if y.ndim == 2
+                                      else y)
+
+
 def test_pack_dir_words6_layout():
     from darwin_tpu.ops.traceback import pack_dir_words6
 

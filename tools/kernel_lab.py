@@ -155,6 +155,24 @@ def main() -> None:
         dt, _ = bench(chain(dp_p6), refs_d, queries_d)
         print(f"packed6 dp_only: {dt/V*1e3:.2f} ms/step", flush=True)
 
+    if "p6compact" in exps:
+        # ET-early-drop via lane compaction: once <= compact_b walkers
+        # survive, the tail runs at compact_b gather lanes instead of B.
+        from darwin_tpu.ops.traceback import traceback_packed6_jax
+
+        for KB in (0, 64, 128, 256, 512):
+            def step_c(r, q, KB=KB):
+                out = align_tiles_pallas(r, q, rlen, qlen, block_b=128,
+                                         dir_format="packed6", **kw)
+                ops, _mb, i_s, j_s = traceback_packed6_jax(
+                    out["dir_words"], rlen, qlen, firsts, out["max_i"],
+                    out["max_j"], early_terminate=ET, compact_b=KB)
+                return (ops.astype(jnp.int32).sum() + i_s.sum()
+                        + j_s.sum() + out["max_score"].sum())
+            dt, _ = bench(chain(step_c), refs_d, queries_d)
+            print(f"packed6 compact_b={KB}: {dt/V*1e3:.2f} ms/step "
+                  f"({B*T*T*V/dt/1e9:.2f} GCUPS)", flush=True)
+
     if "tbunroll" in exps:
         from darwin_tpu.ops.traceback import traceback_packed_jax
 
