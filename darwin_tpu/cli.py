@@ -149,6 +149,33 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Number of reads: {len(read_records)} "
               f"({metrics['read_load_ms']:.0f} ms)")
 
+    engine = args.engine
+    if engine == "auto":
+        from darwin_tpu.engine.aligner import default_backend
+        engine = "device" if default_backend() == "pallas" else "host"
+
+    # Device path, reads in memory: build the engine (banks upload
+    # once) BEFORE the seed table and start the background pre-warm so
+    # the remote engine compile overlaps table build + seeding.
+    prebuilt_engine = None
+    fwd_bank = rev_bank = None
+    if engine == "device" and not chunked:
+        from darwin_tpu.pipeline import make_merged_engine
+        fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
+        rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
+                            for r in read_records])
+        mesh = None
+        if args.mesh:
+            from darwin_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(args.mesh)
+        prebuilt_engine = make_merged_engine(
+            genome, fwd_bank, rev_bank, params, same_file=same_file,
+            batch_size=batch_size, compute_score=not args.noscore,
+            backend=args.backend, mesh=mesh)
+        if mesh is None:
+            prebuilt_engine[0].prewarm_async(
+                int(1.3 * 2 * len(read_records)))
+
     t0 = time.time()
     dist_table = False
     if args.distributed and args.seed_table:
@@ -188,10 +215,6 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Seed table built: {len(table.pos)} minimizers "
               f"({metrics['seed_table_ms']:.0f} ms)")
 
-    engine = args.engine
-    if engine == "auto":
-        from darwin_tpu.engine.aligner import default_backend
-        engine = "device" if default_backend() == "pallas" else "host"
     aligner = None
     if engine == "host":
         aligner = JaxTileAligner(
@@ -214,9 +237,10 @@ def main(argv: list[str] | None = None) -> int:
                             aligner, sp, same_file, batch_size,
                             out_dir, metrics)
 
-    fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
-    rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
-                        for r in read_records])
+    if fwd_bank is None:
+        fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
+        rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
+                            for r in read_records])
     num_reads = len(read_records)
 
     if args.distributed:
@@ -245,7 +269,6 @@ def main(argv: list[str] | None = None) -> int:
     t_gact = 0.0
     n_cand = 0
     all_paf: list[str] = []
-    prebuilt_engine = None
     for range_id, (lo, hi) in zip(range_ids, ranges):
         out_file = out_dir / f"darwin.{range_id}.out"
         paf_file = out_dir / f"darwin.{range_id}.paf"
@@ -335,10 +358,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.metrics_json:
         import json
+
+        from darwin_tpu.engine.device_batch import ENGINE_COMPILE_LOG
         metrics.update(
             seed_ms=t_seed * 1e3, gact_ms=t_gact * 1e3,
             num_candidates=n_cand, num_records=len(all_lines),
             engine=engine, dsoft=args.dsoft,
+            engine_compiles=list(ENGINE_COMPILE_LOG),
             reads_per_s=(metrics["num_reads"]
                          / max(1e-9, t_seed + t_gact)))
         Path(args.metrics_json).write_text(

@@ -217,13 +217,19 @@ def bucket_directory(rel_b: np.ndarray, NB: int) -> np.ndarray:
     return out
 
 
-def make_twolevel_index(hashes: np.ndarray, bucket_factor: int = 4):
+def make_twolevel_index(hashes: np.ndarray, bucket_factor: int = 8):
     """Two-level index over ONE sorted hash array (the replicated
     device table): (hd, crs, bkt, base, shift, steps).  Same structure
     as the per-shard build in dsoft/sharded_table.py
     (make_sharded_dense_index), host-built in two passes; see that
     docstring for why a flat 4^k CSR is not used (memory + the remote
-    compiler wedge)."""
+    compiler wedge).
+
+    bucket_factor=8 is the measured on-chip optimum at E.coli scale
+    (tools/dsoft_lookup_ab.py, v5e, 10.3M lanes / 1.04M entries):
+    ns/lane 250 (bf=4) / 191 (bf=8) / 217 (bf=16) / 379 (bf=32) —
+    fewer refine gathers win until the bucket directory outgrows
+    cache locality."""
     n = len(hashes)
     if n == 0:
         return (np.full(1, 0xFFFFFFFF, np.uint32),
@@ -301,7 +307,11 @@ def default_index_mode(k: int) -> str:
     minimizer with a handful of gathers, without the 4^k dense array
     whose device compile wedges THIS environment's remote compile
     service for >60 min ("dense" stays opt-in until the toolchain
-    handles it).  All three paths are golden-parity tested
+    handles it).  ON-CHIP A/B (round 4, tools/dsoft_lookup_ab.py,
+    E.coli-scale table, 10.3M lanes): twolevel 1.95 s/pass vs
+    searchsorted 4.28 s = 2.2x, identical occ sums; the twolevel
+    program also compiles 12-63 s over the tunnel vs 390 s for
+    searchsorted.  All three paths are golden-parity tested
     (tests/test_dsoft_device.py); numbers in BENCH_NOTES.md.
     """
     del k

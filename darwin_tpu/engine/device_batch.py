@@ -54,6 +54,10 @@ I32 = jnp.int32
 # function identity, so per-instance closures would retrace every run.
 _ENGINE_FN_CACHE: dict[tuple, object] = {}
 
+# Census of engine compiles this process (cold-start accounting,
+# VERDICT r3 ask #6): one entry per _ENGINE_FN_CACHE miss.
+ENGINE_COMPILE_LOG: list[dict] = []
+
 
 @dataclasses.dataclass
 class _Static:
@@ -71,12 +75,10 @@ class _Static:
     compute_score: bool
     backend: str
     block_b: int
-    # Two-tier drain: when > 0, the while_loop stops early once every
-    # call has been issued (next_ci == n_calls) and fewer than `drain`
-    # slots remain active; the host re-dispatches the unfinished calls
-    # into a smaller-B engine (DeviceGactEngine.finish), so the tail
-    # iterations stop paying full-batch DP cost.  0 = run to the end.
-    drain: int = 0
+    # (The two-tier drain threshold is a RUNTIME scalar of the engine
+    # fn, not a static: one compiled engine serves both the drained
+    # main dispatch and the run-to-completion straggler tier, halving
+    # cold-start compile count — see _dispatch/finish.)
     # Traceback word format: "packed" (2 steps/gather) or "packed6"
     # (5-bit fields, 2-4 steps/gather on match runs; measured 14.82 ->
     # 13.90 ms/step at the bench shape, BENCH_NOTES round 3).
@@ -163,10 +165,14 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
     def scatter(arr, idx, val, mask):
         return arr.at[jnp.where(mask, idx, DUMP)].set(val)
 
-    def engine(n_calls, gconcat, qflat,
+    def engine(n_calls, drain, gconcat, qflat,
                rid, qid, comp, g_row, g_rem, grv_row, grv_rem, g_len,
                q_row, q_rem, qrv_row, qrv_rem, q_len,
                cstate):
+        # drain: RUNTIME early-stop threshold — the loop stops once
+        # every call has been issued and fewer than `drain` slots stay
+        # active (0 disables: n_active < 0 never holds), so the same
+        # compiled engine serves drained and run-to-completion tiers.
         # Call state (index Ncap = dump lane).  cstate is the
         # [Ncap, 16] int32 per-call state matrix (column layout
         # CSTATE_COLS): fresh batches pass anchors + defaults, the
@@ -227,12 +233,9 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
 
         def cond(state):
             calls_done, next_ci = state[18], state[17]
-            go = calls_done < n_calls
-            if st.drain:
-                n_active = state[21]
-                go = go & ~((next_ci >= n_calls)
-                            & (n_active < st.drain))
-            return go
+            n_active = state[21]
+            return ((calls_done < n_calls)
+                    & ~((next_ci >= n_calls) & (n_active < drain)))
 
         def body(state):
             (rpos, qpos, rbpos, qbpos, first, reverse, prev_gap, score,
@@ -528,6 +531,48 @@ class DeviceGactEngine:
                 "banks beyond 2^31 bytes need the TPU span-fetch path "
                 "(backend='pallas'); the portable gather path indexes "
                 "with int32")
+        self._prewarmed: _Static | None = None
+        self._prewarm_thread = None
+
+    def prewarm_async(self, n_calls_estimate: int):
+        """Start compiling a generously-sized engine config in a
+        background thread, overlapping the (minutes-long over the
+        tunnel relay) compile with the host's table build and seeding
+        phases.  The config holds any call count up to 2x the
+        estimate, and _dispatch adopts it via st_override whenever the
+        natural config is not yet compiled — so an over-estimate can
+        never trigger a second compile; only an under-run past 2x
+        falls back to the natural (compiling) path.  Engages only when
+        the estimate saturates the slot count: small workloads' engines
+        are cheap enough to compile at dispatch."""
+        import threading
+
+        est = max(1, int(n_calls_estimate))
+        st = self._natural_static(2 * est)
+        if st.B < self._static.B:
+            return None
+        self._prewarmed = st
+        key = self._key(st)
+        if key in _ENGINE_FN_CACHE:
+            return None
+        ENGINE_COMPILE_LOG.append(dict(
+            kind="prewarm", Ncap=st.Ncap, B=st.B, T=st.T,
+            tbfmt=st.tbfmt, n_calls=-1))
+        fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(
+            st, self._use_fetch, self._GP_G, self._GP_Q)
+
+        def work():
+            z = np.zeros(st.Ncap, np.int32)
+            cz = np.zeros((st.Ncap, 16), np.int32)
+            out = fn(np.int32(0), np.int32(0), self._gconcat,
+                     self._qflat, *([z] * 13), cz)
+            jax.device_get(out[5])  # fence: compile fully done
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="engine-prewarm")
+        t.start()
+        self._prewarm_thread = t
+        return t
 
     @staticmethod
     def _split_offsets(start64: np.ndarray, GP: int):
@@ -553,29 +598,58 @@ class DeviceGactEngine:
         cs[:, 5] = 1  # reverse phase
         return cs
 
-    def _dispatch(self, rid, qid, bid, comp, cstate, drain_on: bool):
-        """Dispatch N calls (metadata arrays + [N, 16] state matrix)."""
-        N = len(rid)
-        Ncap = _bucket(N)
-        # Shrink the slot count to the workload: iterations are bounded
-        # by max-tiles-per-call, so surplus slots only add per-iteration
-        # cost (measured 2x end-to-end on a 122-call batch, 512 -> 128).
-        # Half-octave buckets cap idle-slot waste at 33%.
+    def _natural_static(self, N: int) -> "_Static":
+        """The compile config _dispatch would pick for an N-call batch:
+        Ncap pow2-bucketed; slot count shrunk to the workload
+        (iterations are bounded by max-tiles-per-call, so surplus slots
+        only add per-iteration cost — measured 2x end-to-end on a
+        122-call batch, 512 -> 128; half-octave buckets cap idle-slot
+        waste at 33%)."""
         from darwin_tpu.utils import bucket_steps
+        Ncap = _bucket(N)
         B_eff = min(self._static.B, bucket_steps(N, 64))
         bb = min(self._static.block_b, B_eff)
         B_eff = -(-B_eff // bb) * bb
+        return dataclasses.replace(self._static, Ncap=Ncap, B=B_eff)
+
+    def _key(self, st: "_Static") -> tuple:
+        return (dataclasses.astuple(st), self._use_fetch,
+                self._gconcat.shape, self._qflat.shape)
+
+    def _dispatch(self, rid, qid, bid, comp, cstate, drain_on: bool,
+                  st_override: "_Static | None" = None):
+        """Dispatch N calls (metadata arrays + [N, 16] state matrix).
+
+        st_override re-runs an already-compiled configuration (the
+        cold-path straggler tier reuses its parent's engine instead of
+        compiling the natural smaller one, DeviceGactEngine.finish)."""
+        N = len(rid)
+        if st_override is not None:
+            st = st_override
+        else:
+            st = self._natural_static(N)
+            pw = self._prewarmed
+            if (pw is not None and pw.Ncap >= N
+                    and self._key(st) not in _ENGINE_FN_CACHE):
+                # Adopt the prewarmed config instead of compiling the
+                # natural one (surplus slots/capacity cost ms; the
+                # compile costs minutes over the tunnel).
+                if self._prewarm_thread is not None:
+                    self._prewarm_thread.join()
+                    self._prewarm_thread = None
+                st = pw
+        Ncap = st.Ncap
         # Two-tier drain: only worthwhile when the batch refills slots
         # (N > B) and the batch is big enough that tail iterations are
         # expensive; the drain dispatch itself runs to completion.
-        drain = (B_eff // 4
-                 if drain_on and N > B_eff and B_eff >= 256 else 0)
-        st = dataclasses.replace(self._static, Ncap=Ncap, B=B_eff,
-                                 drain=drain)
-        key = (dataclasses.astuple(st), self._use_fetch,
-               self._gconcat.shape, self._qflat.shape)
+        drain = (st.B // 4
+                 if drain_on and N > st.B and st.B >= 256 else 0)
+        key = self._key(st)
         fn = _ENGINE_FN_CACHE.get(key)
         if fn is None:
+            ENGINE_COMPILE_LOG.append(dict(
+                kind="engine", Ncap=Ncap, B=st.B, T=st.T,
+                tbfmt=st.tbfmt, n_calls=N))
             fn = _ENGINE_FN_CACHE[key] = _make_engine_fn(
                 st, self._use_fetch, self._GP_G, self._GP_Q)
 
@@ -590,14 +664,14 @@ class DeviceGactEngine:
             [cstate.astype(np.int32),
              np.zeros((Ncap - N, 16), np.int32)])
         out = fn(
-            np.int32(N), self._gconcat, self._qflat,
+            np.int32(N), np.int32(drain), self._gconcat, self._qflat,
             pad(rid), pad(qid), pad(comp),
             *[pad(x) for x in g4],
             pad(self.genome.piece_lengths[rid].astype(np.int32)),
             *[pad(x) for x in q4],
             pad(self.queries.lengths[bid].astype(np.int32)),
             cpad)
-        return out, drain
+        return out, st, drain
 
     def run_async(self, calls: GactCalls, complement, bank_ids=None):
         """Dispatch the whole batch; returns a handle for finish().
@@ -620,9 +694,9 @@ class DeviceGactEngine:
         comp = np.broadcast_to(
             np.asarray(complement, dtype=np.int32), (N,)).copy()
         cs = self._fresh_state(calls.ref_pos, calls.query_pos)
-        out, drain = self._dispatch(rid, qid, bid, comp, cs,
-                                    self.drain_enabled)
-        return (out, drain, (rid, qid, bid, comp))
+        out, st, drain = self._dispatch(rid, qid, bid, comp, cs,
+                                        self.drain_enabled)
+        return (out, st, drain, (rid, qid, bid, comp))
 
     @staticmethod
     def _decode(records, nrec) -> list[OverlapRecord]:
@@ -640,7 +714,7 @@ class DeviceGactEngine:
         into a smaller-B engine resumed from the exported state."""
         if handle is None:
             return []
-        out, drain, meta = handle
+        out, st, drain, meta = handle
         records_d, nrec_d, state_d, iters_d, act_d, cdone_d = out
         records, nrec, cdone = jax.device_get(
             (records_d, nrec_d, cdone_d))
@@ -659,8 +733,18 @@ class DeviceGactEngine:
                 break
             idx = np.flatnonzero(undone)
             meta = (rid[idx], qid[idx], bid[idx], comp[idx])
-            (records_d, nrec_d, state_d, it_d, ac_d, cdone_d), drain = \
-                self._dispatch(*meta, state[idx], False)
+            # Straggler tier: the natural small-B engine when it is
+            # already compiled; otherwise (cold process) reuse the
+            # parent's compiled config — a few ms of surplus-slot cost
+            # against a ~2 min tunnel compile (BENCH_NOTES).
+            if self._key(self._natural_static(len(idx))) not in \
+                    _ENGINE_FN_CACHE:
+                ovr = st
+            else:
+                ovr = None
+            (records_d, nrec_d, state_d, it_d, ac_d, cdone_d), st, \
+                drain = self._dispatch(*meta, state[idx], False,
+                                       st_override=ovr)
             records, nrec, cdone = jax.device_get(
                 (records_d, nrec_d, cdone_d))
             recs += self._decode(records, nrec)
@@ -735,13 +819,18 @@ class ShardedGactEngine(DeviceGactEngine):
                self.mesh.axis_names)
         fn = _ENGINE_FN_CACHE.get(key)
         if fn is None:
+            ENGINE_COMPILE_LOG.append(dict(
+                kind="sharded", Ncap=Ncap, B=B_eff, T=st.T,
+                tbfmt=st.tbfmt, n_calls=N))
             base = _make_engine_fn(st, self._use_fetch, self._GP_G,
                                    self._GP_Q).__wrapped__
             axis = self.mesh.axis_names[0]
 
             def local(n_calls, gconcat, qflat, *arrs):
+                # drain=0: sharded dispatches run to completion (the
+                # two-tier drain is a single-device engine feature).
                 rec, nrec, _state, _iters, _act, _cdone = base(
-                    n_calls[0], gconcat, qflat, *arrs)
+                    n_calls[0], jnp.int32(0), gconcat, qflat, *arrs)
                 return rec, jnp.reshape(nrec, (1,))
 
             spec_c = P(axis)

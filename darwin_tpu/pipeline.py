@@ -349,10 +349,6 @@ def run_pipeline(ref_records: list[FastaRecord],
                  engine: str = "host", backend: str = "auto",
                  compute_score: bool = True) -> PipelineResult:
     genome = Genome(ref_records, params.bin_size)
-    if table is None:
-        table = SeedTable.build(genome.concat, params.seed_size,
-                                params.seed_occurence_multiple,
-                                params.bin_size, params.window_size)
     if aligner is None and engine == "host":
         aligner = JaxTileAligner(
             tile_size=params.tile_size,
@@ -364,6 +360,24 @@ def run_pipeline(ref_records: list[FastaRecord],
     fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
     rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
                         for r in read_records])
+
+    # Device path: build the engine (bank upload) BEFORE the seed
+    # table and start the background engine pre-warm, so the remote
+    # compile overlaps the table build + seeding (VERDICT r3 ask #6).
+    prebuilt = None
+    if engine == "device":
+        prebuilt = make_merged_engine(
+            genome, fwd_bank, rev_bank, params, same_file=same_file,
+            batch_size=batch_size, compute_score=compute_score,
+            backend=backend)
+        if hasattr(prebuilt[0], "prewarm_async"):
+            # ~1.2 candidates per read-strand measured at E.coli scale
+            prebuilt[0].prewarm_async(
+                int(1.3 * 2 * len(read_records)))
+    if table is None:
+        table = SeedTable.build(genome.concat, params.seed_size,
+                                params.seed_occurence_multiple,
+                                params.bin_size, params.window_size)
     sp = ScoreParams(params.match, params.mismatch, params.gap_open,
                      params.gap_extend)
 
@@ -373,7 +387,8 @@ def run_pipeline(ref_records: list[FastaRecord],
         all_recs, counts = run_device_merged(
             genome, table, fwd_bank, rev_bank, params,
             same_file=same_file, batch_size=batch_size,
-            compute_score=compute_score, backend=backend)
+            compute_score=compute_score, backend=backend,
+            prebuilt=prebuilt)
     else:
         all_recs = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
