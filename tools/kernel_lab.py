@@ -11,12 +11,16 @@ measure candidate optimizations before they land in ops/.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-B, T, ET, V = 2048, 320, 200, 16
+B = int(os.environ.get("KL_B", 2048))
+T = int(os.environ.get("KL_T", 320))
+ET = int(os.environ.get("KL_ET", 200))
+V = int(os.environ.get("KL_V", 16))
 
 
 def make_inputs(rng):

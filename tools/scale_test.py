@@ -140,6 +140,9 @@ def main(argv=None) -> int:
         print(f"darwin-tpu: cold {cold:.1f} s, warm {warm:.1f} s "
               f"({args.reads / warm:.1f} reads/s), "
               f"{len(ours)} unique records")
+        from darwin_tpu.engine.device_batch import ENGINE_COMPILE_LOG
+        print(f"engine compiles this process: "
+              f"{len(ENGINE_COMPILE_LOG)} {ENGINE_COMPILE_LOG}")
 
     if args.only == "tpu":
         ref_out = work / "ref.darwin"
