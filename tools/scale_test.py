@@ -182,11 +182,13 @@ def main(argv=None) -> int:
               f"({args.reads / ref_t:.1f} reads/s), "
               f"{len(ref_records)} unique records")
         if args.only == "ref":
+            _print_peak_rss()
             return 0
 
     if args.only == "tpu":
         wall = work / "ref.wall"
         ref_t = float(wall.read_text()) if wall.exists() else None
+    _print_peak_rss()
     if ours == ref_records:
         speed = (f"; speedup {ref_t / warm:.0f}x"
                  if ref_t is not None else "")
@@ -200,6 +202,16 @@ def main(argv=None) -> int:
     for line in sorted(extra)[:3]:
         print(f"  extra:   {line}")
     return 1
+
+
+def _print_peak_rss():
+    """Peak RSS of this process (darwin-tpu side) and of reaped
+    children (the reference binary), for the scale rows that record
+    memory alongside wall (VERDICT r3 ask #3)."""
+    import resource
+    self_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    kids_gb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
+    print(f"peak RSS: self {self_gb:.2f} GB, children {kids_gb:.2f} GB")
 
 
 def _on_accelerator() -> bool:
