@@ -13,6 +13,7 @@ option; multi-host in parallel/distributed.py.
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 
 import numpy as np
 
@@ -306,7 +307,8 @@ def run_device_merged(genome: Genome, table: SeedTable,
                       batch_size: int, compute_score: bool = True,
                       backend: str = "auto", read_ids=None,
                       num_threads: int | None = None,
-                      dsoft: str = "host", mesh=None, prebuilt=None):
+                      dsoft: str = "host", mesh=None, prebuilt=None,
+                      metrics: dict | None = None):
     """Both strands as ONE merged engine batch.
 
     comp is per-call data and revcomp reads live in the second half of
@@ -326,6 +328,7 @@ def run_device_merged(genome: Genome, table: SeedTable,
     else:
         ids = np.asarray(list(read_ids), dtype=np.int64)
         merged_ids = np.concatenate([ids, ids + num_reads])
+    t0 = _time.time()
     if dsoft == "device":
         calls_m = collect_calls_device(table, genome, merged, params,
                                        read_ids=merged_ids)
@@ -333,12 +336,16 @@ def run_device_merged(genome: Genome, table: SeedTable,
         calls_m = collect_calls(table, genome, merged, params,
                                 read_ids=merged_ids,
                                 num_threads=num_threads)
+    t1 = _time.time()
     comp = (calls_m.query_id >= num_reads).astype(np.int32)
     counts = [int((comp == 0).sum()), int((comp == 1).sum())]
     bank_ids = calls_m.query_id
     calls = GactCalls(calls_m.ref_id, calls_m.query_id % num_reads,
                       calls_m.ref_pos, calls_m.query_pos)
     recs = dev.finish(dev.run_async(calls, comp, bank_ids))
+    if metrics is not None:
+        metrics["seed_s"] = t1 - t0
+        metrics["align_s"] = _time.time() - t1
     return recs, counts
 
 
@@ -347,7 +354,9 @@ def run_pipeline(ref_records: list[FastaRecord],
                  same_file: bool, *, batch_size: int = 512,
                  aligner=None, table: SeedTable | None = None,
                  engine: str = "host", backend: str = "auto",
-                 compute_score: bool = True) -> PipelineResult:
+                 compute_score: bool = True,
+                 metrics: dict | None = None) -> PipelineResult:
+    t0 = _time.time()
     genome = Genome(ref_records, params.bin_size)
     if aligner is None and engine == "host":
         aligner = JaxTileAligner(
@@ -360,6 +369,7 @@ def run_pipeline(ref_records: list[FastaRecord],
     fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
     rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
                         for r in read_records])
+    t1 = _time.time()
 
     # Device path: build the engine (bank upload) BEFORE the seed
     # table and start the background engine pre-warm, so the remote
@@ -374,10 +384,16 @@ def run_pipeline(ref_records: list[FastaRecord],
             # ~1.2 candidates per read-strand measured at E.coli scale
             prebuilt[0].prewarm_async(
                 int(1.3 * 2 * len(read_records)))
+    t2 = _time.time()
     if table is None:
         table = SeedTable.build(genome.concat, params.seed_size,
                                 params.seed_occurence_multiple,
                                 params.bin_size, params.window_size)
+    t3 = _time.time()
+    if metrics is not None:
+        metrics["genome_banks_s"] = t1 - t0
+        metrics["engine_build_s"] = t2 - t1
+        metrics["table_s"] = t3 - t2
     sp = ScoreParams(params.match, params.mismatch, params.gap_open,
                      params.gap_extend)
 
@@ -388,11 +404,16 @@ def run_pipeline(ref_records: list[FastaRecord],
             genome, table, fwd_bank, rev_bank, params,
             same_file=same_file, batch_size=batch_size,
             compute_score=compute_score, backend=backend,
-            prebuilt=prebuilt)
+            prebuilt=prebuilt, metrics=metrics)
     else:
         all_recs = []
         for comp, bank in ((False, fwd_bank), (True, rev_bank)):
+            ts = _time.time()
             calls = collect_calls(table, genome, bank, params)
+            if metrics is not None:
+                metrics["seed_s"] = (metrics.get("seed_s", 0.0)
+                                     + _time.time() - ts)
+                ts = _time.time()
             counts.append(len(calls))
             all_recs.extend(run_gact_batch(
                 genome, bank, calls, tile_size=params.tile_size,
@@ -401,8 +422,14 @@ def run_pipeline(ref_records: list[FastaRecord],
                 sp=sp, complement=comp, same_file=same_file,
                 aligner=aligner, batch_size=batch_size,
                 compute_score=compute_score))
+            if metrics is not None:
+                metrics["align_s"] = (metrics.get("align_s", 0.0)
+                                      + _time.time() - ts)
+    t4 = _time.time()
     for r in all_recs:
         records.append(format_record(
             genome.names[r.ref_id], read_records[r.query_id].name,
             r.ab, r.ae, r.bb, r.be, r.score, r.comp))
+    if metrics is not None:
+        metrics["format_s"] = _time.time() - t4
     return PipelineResult(records, counts[0], counts[1])

@@ -93,17 +93,28 @@ def profile_pipeline(args) -> None:
     engine = "device" if default_backend() == "pallas" else "host"
     run_pipeline(ref, reads, params, same_file=same, engine=engine,
                  batch_size=args.batch_size)  # warm/compile
+    best, best_m, best_res = None, None, None
     with maybe_trace(args.trace_dir):
-        t0 = time.time()
-        res = run_pipeline(ref, reads, params, same_file=same,
-                           engine=engine, batch_size=args.batch_size)
-        dt = time.time() - t0
+        for _ in range(max(1, args.reps)):
+            m: dict = {}
+            t0 = time.time()
+            res = run_pipeline(ref, reads, params, same_file=same,
+                               engine=engine, batch_size=args.batch_size,
+                               metrics=m)
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, best_m, best_res = dt, m, res
+    dt, m, res = best, best_m, best_res
     # DP cells actually computable from candidates is workload-shaped;
     # report throughput in the reference's own unit (reads/s).
     print(f"pipeline: {len(reads)} reads in {dt:.2f} s "
           f"({len(reads) / dt:.1f} reads/s), "
           f"{len(res.records)} records, "
           f"{res.num_candidates_for + res.num_candidates_rev} candidates")
+    accounted = sum(m.values())
+    split = "  ".join(f"{k[:-2]} {v:.3f}" for k, v in m.items())
+    print(f"phases (best-of-{args.reps}, s): {split}  "
+          f"other {dt - accounted:.3f}")
 
 
 def main(argv=None) -> int:
@@ -119,6 +130,7 @@ def main(argv=None) -> int:
     e.add_argument("reads")
     e.add_argument("--params", default="params.cfg")
     e.add_argument("--batch-size", type=int, default=512)
+    e.add_argument("--reps", type=int, default=3)
     e.add_argument("--trace-dir", default=None)
     args = p.parse_args(argv)
     if args.mode == "kernel":
