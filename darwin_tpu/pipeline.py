@@ -366,14 +366,36 @@ def run_pipeline(ref_records: list[FastaRecord],
             gap_open=params.gap_open, gap_extend=params.gap_extend,
             backend=backend)
 
+    # Device path: kick the seed-table build off on a worker thread
+    # first (the native builder releases the GIL for its C sections),
+    # so it runs during the engine's genuine waits — bank device_put
+    # over the relay and the prewarm compile dispatch.  Measured at
+    # E.coli scale the table is the largest non-engine warm term
+    # (0.44 s of 1.82 s); the overlap reclaims the bank-upload slice.
+    table_worker = None
+    if table is None and engine == "device":
+        import threading
+
+        table_box: list = [None]
+
+        def _build_table():
+            table_box[0] = SeedTable.build(
+                genome.concat, params.seed_size,
+                params.seed_occurence_multiple, params.bin_size,
+                params.window_size)
+
+        table_worker = threading.Thread(target=_build_table,
+                                        name="seed-table-build")
+        table_worker.start()
+
     fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
     rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
                         for r in read_records])
     t1 = _time.time()
 
-    # Device path: build the engine (bank upload) BEFORE the seed
-    # table and start the background engine pre-warm, so the remote
-    # compile overlaps the table build + seeding (VERDICT r3 ask #6).
+    # Build the engine (bank upload) BEFORE waiting on the seed table
+    # and start the background engine pre-warm, so the remote compile
+    # overlaps the table build + seeding (VERDICT r3 ask #6).
     prebuilt = None
     if engine == "device":
         prebuilt = make_merged_engine(
@@ -385,7 +407,10 @@ def run_pipeline(ref_records: list[FastaRecord],
             prebuilt[0].prewarm_async(
                 int(1.3 * 2 * len(read_records)))
     t2 = _time.time()
-    if table is None:
+    if table_worker is not None:
+        table_worker.join()
+        table = table_box[0]
+    elif table is None:
         table = SeedTable.build(genome.concat, params.seed_size,
                                 params.seed_occurence_multiple,
                                 params.bin_size, params.window_size)
