@@ -157,12 +157,17 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
     bins = jnp.where(tup_valid,
                      ((hit - toff) // bin_size).astype(jnp.int32),
                      INT32_MAX)
-    # Stable sort by bin; payloads ride along.  Padding (INT32_MAX
-    # bins) sorts last.
-    b_s, t_s, h_s, o_s, v_s = jax.lax.sort(
-        (bins, t_idx, hit, toff, tup_valid.astype(jnp.int32)),
-        num_keys=1, is_stable=True)
-    v_s = v_s == 1
+    # Stable sort by bin; padding (INT32_MAX bins) sorts last.  The
+    # payloads do NOT ride the sort: a 2-operand (key, iota) sort
+    # yields the permutation and the payloads are gathered by it —
+    # bit-identical to a stable multi-operand sort (t_idx IS the
+    # iota), but the vmapped 5-operand sort was the on-chip compile
+    # bomb (44 min pending at tup_max=8192; BENCH_NOTES round 4)
+    # while gathers are compile-cheap.
+    b_s, t_s = jax.lax.sort((bins, t_idx), num_keys=1, is_stable=True)
+    h_s = hit[t_s]
+    o_s = toff[t_s]
+    v_s = tup_valid[t_s]
 
     seg_start = jnp.concatenate(
         [jnp.ones((1,), bool), b_s[1:] != b_s[:-1]]) & v_s
@@ -182,9 +187,12 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
     first_cross = crossing & ~(prev_cross & ~seg_start)
 
     # Back to emission (original tuple) order; take the first cand_max.
+    # Same (key, iota)-then-gather shape as the bin sort above.
     emit_key = jnp.where(first_cross, t_s, INT32_MAX)
-    e_k, e_h, e_o = jax.lax.sort((emit_key, h_s, o_s), num_keys=1,
-                                 is_stable=True)
+    _, e_perm = jax.lax.sort((emit_key, t_idx), num_keys=1,
+                             is_stable=True)
+    e_h = h_s[e_perm]
+    e_o = o_s[e_perm]
     if tup_max < cand_max:  # tiny tuple budgets: pad to the slice size
         pad = ((0, cand_max - tup_max),)
         e_h = jnp.pad(e_h, pad, constant_values=-1)
