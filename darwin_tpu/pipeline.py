@@ -138,8 +138,23 @@ def collect_calls_device(table: SeedTable, genome: Genome,
         hits, offs = hits[: len(ids)], offs[: len(ids)]
         counts, over = counts[: len(ids)], over[: len(ids)]
     else:
-        hits, offs, counts, over = jax.device_get(dsoft_device_batch(
-            Q, lens, th_arg, np.asarray(table.pos), **kw))
+        # The tunnel compile wall scales with the batch dim, not read
+        # length (round 4, tools/dsoft_stage.py: R=256 at L=10 kb
+        # compiles in ~6 min and runs 1.14 s/batch; R=1024 never
+        # finished at 25 min) — run R<=256 slices that all share one
+        # compiled [256, LPad] program (R is pow2-bucketed above).
+        RCAP = 256
+        tpos = np.asarray(table.pos)
+        if Q.shape[0] > RCAP:
+            outs = [jax.device_get(dsoft_device_batch(
+                        Q[i:i + RCAP], lens[i:i + RCAP], th_arg,
+                        tpos, **kw))
+                    for i in range(0, Q.shape[0], RCAP)]
+            hits, offs, counts, over = (
+                np.concatenate([o[j] for o in outs]) for j in range(4))
+        else:
+            hits, offs, counts, over = jax.device_get(
+                dsoft_device_batch(Q, lens, th_arg, tpos, **kw))
 
     rid, qid, rpos, qpos = [], [], [], []
     for r, k in enumerate(ids):

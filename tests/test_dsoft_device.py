@@ -252,3 +252,39 @@ def test_collect_calls_device_twolevel_matches_host():
     np.testing.assert_array_equal(dev.query_id, host.query_id)
     np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
     np.testing.assert_array_equal(dev.query_pos, host.query_pos)
+
+
+def test_collect_calls_device_rcap_slices_match_host():
+    """Batches above the RCAP=256 compile cap run as R<=256 slices of
+    one compiled program (the tunnel compile wall scales with the
+    batch dim — round-4 dsoft_stage measurement); results must equal
+    the host filtration exactly across the slice boundaries."""
+    from darwin_tpu.coding import seq_to_bytes
+    from darwin_tpu.config import Params
+    from darwin_tpu.index.genome import Genome
+    from darwin_tpu.index.seed_table import SeedTable
+    from darwin_tpu.io.fasta import FastaRecord
+    from darwin_tpu.pipeline import collect_calls, collect_calls_device
+
+    rng = np.random.default_rng(47)
+    ref = rng.choice(ALPHA[:4], size=20000).astype(np.uint8)
+    params = Params(seed_size=12, threshold=12)
+    genome = Genome([FastaRecord(["ref"], ref.tobytes().decode())],
+                    params.bin_size)
+    table = SeedTable.build(genome.concat, params.seed_size,
+                            params.seed_occurence_multiple,
+                            params.bin_size, params.window_size)
+    reads = []
+    for _ in range(300):  # pads to 512 -> two 256-read slices
+        s = int(rng.integers(0, 19000))
+        r = ref[s:s + int(rng.integers(150, 400))].copy()
+        mut = rng.random(len(r)) < 0.1
+        r[mut] = rng.choice(ALPHA[:4], size=int(mut.sum()))
+        reads.append(r)
+    bank = SeqBank(reads)
+    host = collect_calls(table, genome, bank, params)
+    dev = collect_calls_device(table, genome, bank, params)
+    np.testing.assert_array_equal(dev.ref_id, host.ref_id)
+    np.testing.assert_array_equal(dev.query_id, host.query_id)
+    np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
+    np.testing.assert_array_equal(dev.query_pos, host.query_pos)
