@@ -96,13 +96,23 @@ def two_readsets(genome: str, num_reads: int, read_len: int,
 
 def sample_reads(genome: str, num_reads: int, read_len: int,
                  rng: np.random.Generator, error_rate: float = 0.0,
-                 rc_fraction: float = 0.0) -> list[tuple[str, str]]:
-    """Sample reads; returns [(name, seq)] with origin-encoding names."""
+                 rc_fraction: float = 0.0,
+                 read_len_range: tuple[int, int] | None = None,
+                 ) -> list[tuple[str, str]]:
+    """Sample reads; returns [(name, seq)] with origin-encoding names.
+
+    read_len_range=(lo, hi) draws each read's length uniformly from
+    [lo, hi] (long-read length spread); default keeps the fixed
+    read_len AND the exact RNG stream of earlier rounds' fixtures.
+    """
     g = np.frombuffer(genome.encode("ascii"), dtype=np.uint8)
     reads: list[tuple[str, str]] = []
     for i in range(num_reads):
-        start = int(rng.integers(0, max(1, len(g) - read_len)))
-        chunk = g[start:start + read_len]
+        rl = (read_len if read_len_range is None
+              else int(rng.integers(read_len_range[0],
+                                    read_len_range[1] + 1)))
+        start = int(rng.integers(0, max(1, len(g) - rl)))
+        chunk = g[start:start + rl]
         comp = rng.random() < rc_fraction
         if comp:
             chunk = (np.frombuffer(b"TGCA", dtype=np.uint8)

@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     p.add_argument("--genome", type=int, default=4_600_000)
     p.add_argument("--reads", type=int, default=460)
     p.add_argument("--read-len", type=int, default=10_000)
+    p.add_argument("--read-len-min", type=int, default=0,
+                   help="draw each read's length uniformly from "
+                        "[min, read-len] (exercises LPT balancing, "
+                        "drain tiers and length bucketing); 0 = "
+                        "fixed-length reads (default)")
     p.add_argument("--error", type=float, default=0.12)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--darwin", default=None,
@@ -85,6 +90,8 @@ def main(argv=None) -> int:
         pass
     else:
         rng = np.random.default_rng(args.seed)
+        lr = ((args.read_len_min, args.read_len)
+              if args.read_len_min else None)
         C = max(1, args.chromosomes)
         if C > 1:
             assert args.guided, "--chromosomes needs --guided"
@@ -96,14 +103,16 @@ def main(argv=None) -> int:
                 chroms.append((f"chr{c}", g))
                 for name, seq in sample_reads(
                         g, r, args.read_len, rng,
-                        error_rate=args.error, rc_fraction=0.5):
+                        error_rate=args.error, rc_fraction=0.5,
+                        read_len_range=lr):
                     reads.append((f"c{c}{name}", seq))
             write_fasta(fasta, reads)
             write_fasta(ref_fasta, chroms)
         else:
             genome = synth_genome(args.genome, rng)
             reads = sample_reads(genome, args.reads, args.read_len, rng,
-                                 error_rate=args.error, rc_fraction=0.5)
+                                 error_rate=args.error, rc_fraction=0.5,
+                                 read_len_range=lr)
             write_fasta(fasta, reads)
             if args.guided:
                 write_fasta(ref_fasta, [("genome_0", genome)])
