@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 INT32_MAX = np.iinfo(np.int32).max
+UINT32_FILL = np.uint32(0xFFFFFFFF)  # hits padding (-1 in int32 view)
 
 _TWOBIT_LUT = np.zeros(256, dtype=np.uint32)
 for _c, _v in (("a", 0), ("A", 0), ("c", 1), ("C", 1),
@@ -150,12 +151,17 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
     tup_valid = t_idx < jnp.minimum(total, tup_max)
 
     gather_idx = jnp.where(tup_valid, start[mz] + within, 0)
-    hit = table_pos[gather_idx].astype(jnp.int32)
-    toff = pos[mz]
-    tup_valid &= hit >= toff  # seed_pos_table.cpp:135
+    # Positions stay uint32 end to end (the reference's own pos width,
+    # seed_pos_table.cpp uint64 = (hash << 32) | pos): an int32 lane
+    # would cap references at 2^31 while uint32 carries the full
+    # 4.29 Gb — covers GRCh38-scale concats with no wider traffic.
+    hit = table_pos[gather_idx]            # uint32
+    toff = pos[mz]                         # int32 (read offset, small)
+    toff_u = toff.astype(jnp.uint32)
+    tup_valid &= hit >= toff_u  # seed_pos_table.cpp:135
 
     bins = jnp.where(tup_valid,
-                     ((hit - toff) // bin_size).astype(jnp.int32),
+                     ((hit - toff_u) // bin_size).astype(jnp.int32),
                      INT32_MAX)
     # Stable sort by bin; padding (INT32_MAX bins) sorts last.  The
     # payloads do NOT ride the sort: a 2-operand (key, iota) sort
@@ -195,7 +201,7 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
     e_o = o_s[e_perm]
     if tup_max < cand_max:  # tiny tuple budgets: pad to the slice size
         pad = ((0, cand_max - tup_max),)
-        e_h = jnp.pad(e_h, pad, constant_values=-1)
+        e_h = jnp.pad(e_h, pad, constant_values=UINT32_FILL)
         e_o = jnp.pad(e_o, pad, constant_values=-1)
     n_emit = jnp.sum(first_cross.astype(jnp.int32))
     n = jnp.minimum(jnp.minimum(n_emit, max_candidates), cand_max)
@@ -204,7 +210,8 @@ def _dsoft_one(codes, qlen, table_lookup, table_pos, *, k: int, w: int,
     overflow |= jnp.minimum(n_emit, max_candidates) > cand_max
     c_idx = jax.lax.broadcasted_iota(jnp.int32, (cand_max, 1), 0)[:, 0]
     cand_valid = c_idx < n
-    return (jnp.where(cand_valid, e_h[:cand_max], -1),
+    return (jnp.where(cand_valid, e_h[:cand_max],
+                      jnp.uint32(UINT32_FILL)),
             jnp.where(cand_valid, e_o[:cand_max], -1),
             n, overflow)
 
@@ -341,7 +348,8 @@ def dsoft_device_batch(queries, qlens, table_hashes, table_pos, *,
 
     queries: [R, L] uint8 ASCII (zero-padded), qlens: [R] int32.
     Returns (hits[R, cand_max], offsets[R, cand_max], counts[R],
-    overflow[R]); hits/offsets are -1 beyond counts.
+    overflow[R]); hits are uint32 (full 4.29 Gb reference range,
+    0xFFFFFFFF beyond counts), offsets int32 (-1 beyond counts).
     index: "dense" = direct CSR gathers over the 4^k hash space
     (table_hashes must then BE the dense_hash_index array),
     "twolevel" = two-level probe (table_hashes = the first five

@@ -336,10 +336,13 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
     tvalid = t_idx < jnp.minimum(total_l, tup_max)
 
     g_idx = jnp.where(tvalid, start_l.reshape(-1)[f] + within, 0)
-    hit = tp[g_idx].astype(jnp.int32)
+    # Positions stay uint32 through the exchange (the reference's own
+    # pos width): int32 lanes would cap references at 2^31 while
+    # uint32 carries the full 4.29 Gb at identical traffic.
+    hit = tp[g_idx]                                # uint32
     t_read = (f // LP).astype(jnp.int32)
     t_mpos = (f % LP).astype(jnp.int32)
-    tvalid &= hit >= t_mpos  # seed_pos_table.cpp:135
+    tvalid &= hit >= t_mpos.astype(jnp.uint32)  # seed_pos_table.cpp:135
 
     # --- hit exchange -------------------------------------------------
     if a2a_cap is None:
@@ -376,7 +379,8 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
                          n_shards * a2a_cap)
 
         def route(vals, fill):
-            buf = jnp.full((n_shards * a2a_cap,), fill, jnp.int32).at[
+            buf = jnp.full((n_shards * a2a_cap,), fill,
+                           vals.dtype).at[
                 tgt2].set(jnp.where(put2, vals, fill), mode="drop")
             return jax.lax.all_to_all(
                 buf.reshape(n_shards, a2a_cap), axis, split_axis=0,
@@ -384,14 +388,16 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
 
         a_read = route(r2, INT32_MAX)
         a_mpos = route(m2, 0)
-        a_hit = route(h2, 0)
+        a_hit = route(h2, jnp.uint32(0))
     overflow_read = jax.lax.pmax(overflow_read.astype(jnp.int32),
                                  axis) == 1  # [R] replicated
 
     mine = (a_read >= base) & (a_read < base + R_local)
     rloc = jnp.where(mine, a_read - base, INT32_MAX)
 
-    bins = jnp.where(mine, (a_hit - a_mpos) // bin_size, INT32_MAX)
+    bins = jnp.where(mine,
+                     ((a_hit - a_mpos.astype(jnp.uint32))
+                      // bin_size).astype(jnp.int32), INT32_MAX)
     r_s, b_s, m_s, h_s = jax.lax.sort(
         (rloc, bins, a_mpos, a_hit), num_keys=4, is_stable=True)
     v_s = r_s != INT32_MAX
@@ -435,8 +441,9 @@ def _dsoft_table_sharded_local(queries, qlens, th, tp, *, axis: str,
 
     put = cvalid & (crank < n_final[jnp.minimum(c_r, R_local - 1)])
     tgt = jnp.where(put, c_r * cand_max + crank, R_local * cand_max)
-    hits_out = jnp.full((R_local * cand_max,), -1, jnp.int32).at[
-        tgt].set(jnp.where(put, c_h, -1), mode="drop")
+    ufill = jnp.uint32(0xFFFFFFFF)  # -1 in the int32 view
+    hits_out = jnp.full((R_local * cand_max,), ufill, jnp.uint32).at[
+        tgt].set(jnp.where(put, c_h, ufill), mode="drop")
     offs_out = jnp.full((R_local * cand_max,), -1, jnp.int32).at[
         tgt].set(jnp.where(put, c_m, -1), mode="drop")
     return (hits_out.reshape(R_local, cand_max),

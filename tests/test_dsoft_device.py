@@ -52,7 +52,9 @@ def _check_parity(gt, reads, out, threshold=18, cap_seeds=800,
         got = list(zip(hits[i, :counts[i]].tolist(),
                        offs[i, :counts[i]].tolist()))
         assert got == gold, f"read {i}"
-        assert (hits[i, counts[i]:] == -1).all()
+        # hits are uint32 (full 4.29 Gb position range); padding is
+        # 0xFFFFFFFF, i.e. -1 in the int32 view.
+        assert (hits[i, counts[i]:].astype(np.int32) == -1).all()
 
 
 @pytest.mark.parametrize("seed,threshold", [(3, 18), (7, 12), (11, 21)])
@@ -288,3 +290,26 @@ def test_collect_calls_device_rcap_slices_match_host():
     np.testing.assert_array_equal(dev.query_id, host.query_id)
     np.testing.assert_array_equal(dev.ref_pos, host.ref_pos)
     np.testing.assert_array_equal(dev.query_pos, host.query_pos)
+
+
+def test_device_dsoft_positions_past_2_31():
+    """Reference positions above 2^31 (GRCh38-scale concats): hits
+    stay uint32 end to end (the reference's own pos width,
+    seed_pos_table.cpp uint64 = (hash << 32) | pos), so a table whose
+    positions live past int32 range must still match the golden
+    scalar spec bit for bit.  An int32 lane anywhere in the hit path
+    turns these positions negative and fails this test."""
+    gt, reads = _fixture(13)
+    shift = np.uint64(2_600_000_000)  # past 2^31, within uint32
+    gt.pos_table = (gt.pos_table.astype(np.uint64)
+                    + shift).astype(np.uint32)
+    gt.ref_size += int(shift)  # keep the golden hit<ref_size invariant
+    out = _run_device(gt, reads)
+    hits = out[0]
+    assert hits.dtype == np.uint32
+    # At least one emitted hit actually exercises the >2^31 range.
+    counts = out[2]
+    real = np.concatenate([hits[i, :counts[i]] for i in
+                           range(len(reads))])
+    assert (real.astype(np.uint64) > np.uint64(2**31)).any()
+    _check_parity(gt, reads, out)

@@ -259,3 +259,34 @@ def test_sharded_table_a2a_cap_overflow_flagged():
     Q, lens = pad_reads(bank, range(len(reads)))
     hits, offs, counts, over = jax.device_get(fn(Q, lens, hs, ps))
     assert over.any()
+
+
+def test_sharded_table_positions_past_2_31():
+    """Table positions above 2^31 (GRCh38-scale concats) survive the
+    hit exchange: positions ride uint32 lanes end to end (the
+    reference's own pos width), so both exchanges must reproduce the
+    golden spec bit for bit on a table shifted past int32 range."""
+    gt, reads = _fixture(37)
+    shift = np.uint64(2_600_000_000)
+    gt.pos_table = (gt.pos_table.astype(np.uint64)
+                    + shift).astype(np.uint32)
+    gt.ref_size += int(shift)
+    out = _run(gt, reads, threshold=15)
+    hits, _, counts, _ = out
+    real = np.concatenate([hits[i, :counts[i]]
+                           for i in range(len(reads))])
+    assert hits.dtype == np.uint32
+    assert (real.astype(np.uint64) > np.uint64(2**31)).any()
+    _check(gt, reads, out, threshold=15)
+    # Same table through the all_to_all route (uint32 routing buffers).
+    mesh = make_mesh(8)
+    hs, ps = make_sharded_table(gt.hashes, gt.pos_table, 8)
+    fn = dsoft_table_sharded_fn(
+        mesh, k=gt.k, w=gt.w, bin_size=gt.bin_size,
+        kmer_max_occ=gt.kmer_max_occurence, num_seeds_cap=800,
+        threshold=15, max_candidates=10**6, tup_max=4096,
+        cand_max=128, a2a_cap=1024)
+    bank = SeqBank(reads)
+    Q, lens = pad_reads(bank, range(len(reads)))
+    out2 = jax.device_get(fn(Q, lens, hs, ps))
+    _check(gt, reads, out2, threshold=15)
