@@ -159,7 +159,18 @@ def main(argv: list[str] | None = None) -> int:
     # the remote engine compile overlaps table build + seeding.
     prebuilt_engine = None
     fwd_bank = rev_bank = None
-    if engine == "device" and not chunked:
+    all_resumed = False
+    if args.resume and not args.distributed and not chunked:
+        # Every range already has output: the loop below will resume
+        # them all, so skip the device-engine build + prewarm entirely
+        # (banks upload gigabytes and the prewarm starts a minutes-long
+        # tunnel compile that would otherwise be orphaned at exit).
+        nr = max(1, args.num_ranges)
+        per = max(1, -(-len(read_records) // nr))
+        all_resumed = all(
+            (Path(args.out_dir) / f"darwin.{rid}.out").exists()
+            for rid in range(len(range(0, len(read_records), per))))
+    if engine == "device" and not chunked and not all_resumed:
         from darwin_tpu.pipeline import make_merged_engine
         fwd_bank = SeqBank([seq_to_bytes(r.seq) for r in read_records])
         rev_bank = SeqBank([seq_to_bytes(revcomp(r.seq))
@@ -292,20 +303,12 @@ def main(argv: list[str] | None = None) -> int:
         lines: list[str] = []
         range_recs: list = []
         if engine == "device":
-            from darwin_tpu.pipeline import (make_merged_engine,
-                                             run_device_merged)
+            from darwin_tpu.pipeline import run_device_merged
             t0 = time.time()
-            if prebuilt_engine is None:
-                mesh = None
-                if args.mesh:
-                    from darwin_tpu.parallel.mesh import make_mesh
-                    mesh = make_mesh(args.mesh)
-                # Banks upload once; subsequent ranges reuse the engine.
-                prebuilt_engine = make_merged_engine(
-                    genome, fwd_bank, rev_bank, params,
-                    same_file=same_file, batch_size=batch_size,
-                    compute_score=not args.noscore,
-                    backend=args.backend, mesh=mesh)
+            # prebuilt_engine was built before the seed table (banks
+            # upload once, prewarm overlaps); it is None only when
+            # every range resumed, in which case this branch is
+            # unreachable — run_device_merged would self-build then.
             recs, cc = run_device_merged(
                 genome, table, fwd_bank, rev_bank, params,
                 same_file=same_file, batch_size=batch_size,

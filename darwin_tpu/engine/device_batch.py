@@ -155,7 +155,7 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
                     GP_G: int = 0, GP_Q: int = 0):
     """Build the jitted whole-batch engine function.
 
-    With use_fetch, gconcat/qflat are combined [rows, 1, ROW] banks
+    With use_fetch, gconcat/qflat are combined [groups, 4, ROW] banks
     (ops/tile_fetch.py) with forward copies of padded length GP_G/GP_Q;
     otherwise they are the flat 1-D padded banks.
     """
@@ -572,6 +572,15 @@ class DeviceGactEngine:
                              name="engine-prewarm")
         t.start()
         self._prewarm_thread = t
+        # If no dispatch ever adopts the prewarm (zero candidates, or
+        # an all-resumed run), the daemon thread would be killed mid
+        # compile RPC at interpreter exit — and a client killed mid
+        # grant blocks this machine's next TPU client for up to
+        # ~20 min (CLAUDE.md).  Join at exit instead: a graceful wait
+        # beats poisoning the next run.
+        import atexit
+
+        atexit.register(lambda: t.is_alive() and t.join())
         return t
 
     @staticmethod

@@ -7,12 +7,14 @@ regardless of contiguity (measured: a [1024, 320] uint8 tile gather is
 largest non-DP cost.  This kernel exploits that every tile is a
 CONTIGUOUS span:
 
-* the bank is viewed as [rows, 1, ROW] with ROW = 512; any span of
-  length <= 2*ROW - (ROW-1) lives in two consecutive rows;
-* per tile, the two rows arrive as scalar-prefetch-indexed blocks
-  (Mosaic DMAs them, pipelined across the grid), and the span is
-  extracted with one dynamic-shift lane roll (32-bit widened — Mosaic
-  requires it) plus a static slice;
+* the bank is viewed as [groups, 4, ROW] with ROW = 512 (four bank
+  rows per sublane group, so the u8 (4, 128) tiling wastes nothing —
+  a unit sublane dim cost 4x HBM at rest and broke 3 Gb banks);
+* per tile, the two groups covering the span's rows arrive as
+  scalar-prefetch-indexed blocks (Mosaic DMAs them, pipelined across
+  the grid); the span is extracted with a dynamic lane roll (32-bit
+  widened — Mosaic requires it), one static sublane roll for each
+  row's tail, and a static 4-way row select;
 * REVERSED tiles (the engine reads forward-extension tiles
   back-to-front, align.cpp:130) become forward spans of a reversed
   copy of the bank appended below the original — same kernel, just a
@@ -38,21 +40,30 @@ from jax.experimental.pallas import tpu as pltpu
 from darwin_tpu.utils import round_up as _round_up
 
 ROW = 512
+GROUP = 4           # bank rows per sublane group (u8 tile height)
 TILES_PER_STEP = 8
 
 
 def build_combined_bank(flat: np.ndarray, pad_byte: int
                         ) -> tuple[np.ndarray, int]:
-    """[rows, 1, ROW] uint8 bank: padded flat copy, then its reverse,
-    then one margin row.  Returns (bank3d, GP) where GP is the padded
-    forward length (the reverse copy starts at GP)."""
+    """[groups, GROUP, ROW] uint8 bank: padded flat copy, then its
+    reverse, then one margin group.  Returns (bank3d, GP) where GP is
+    the padded forward length (the reverse copy starts at GP).
+
+    The group axis exists purely for HBM economics: a [rows, 1, ROW]
+    u8 array is tiled (4, 128) on its last two dims, so the unit
+    sublane dim is padded 4x at rest — a 3 Gb combined bank ballooned
+    to 34 GB and killed the 16 GB chip (round 4).  [*, 4, ROW] uses
+    all four sublanes: the bank costs exactly its bytes."""
     GP = _round_up(max(1, len(flat)), ROW)
     fwd = np.full(GP, pad_byte, dtype=np.uint8)
     fwd[: len(flat)] = flat
     rev = fwd[::-1]
-    margin = np.full(ROW, pad_byte, dtype=np.uint8)
+    gbytes = GROUP * ROW
+    total = _round_up(2 * GP, gbytes) + gbytes  # spare group: row+1 ok
+    margin = np.full(total - 2 * GP, pad_byte, dtype=np.uint8)
     combined = np.concatenate([fwd, rev, margin])
-    return combined.reshape(-1, 1, ROW), GP
+    return combined.reshape(-1, GROUP, ROW), GP
 
 
 def build_combined_bank_device(flat: np.ndarray, pad_byte: int):
@@ -90,28 +101,49 @@ def fetch_tiles(eff_row, eff_off, bank3d, *, T: int, n_rows: int,
     mask).  B must be a multiple of 8."""
     B = eff_row.shape[0]
     TP = _round_up(T, 128)
-    assert TP + ROW - 1 <= 2 * ROW, (T, ROW)
+    assert TP <= ROW, (T, ROW)  # span fits one extracted 512-byte row
     assert B % TILES_PER_STEP == 0, B
     C = TILES_PER_STEP
     grid = (B // C,)
+    n_groups = n_rows  # bank3d.shape[0]: [groups, GROUP, ROW]
 
     def kernel(row_ref, off_ref, *refs):
-        del row_ref
         blocks = refs[: 2 * C]
         out_ref = refs[2 * C]
         b = pl.program_id(0)
         for t in range(C):
-            span = jnp.concatenate(
-                [blocks[2 * t][0], blocks[2 * t + 1][0]],
-                axis=1).astype(jnp.int32)  # dynamic roll is 32-bit only
+            # Two 4-row groups cover rows g*4 .. g*4+7 — always both
+            # rows of any span starting in group g.  Select the span's
+            # two source rows FIRST (static single-sublane slices +
+            # 3-way selects), then run the original cheap [1, 1024]
+            # concat + dynamic lane roll — the row-select adds ~10
+            # small vector ops; rolling the full [8, 512] block
+            # instead measured 40x slower.
+            xa = blocks[2 * t][0].astype(jnp.int32)   # [GROUP, ROW]
+            xb = blocks[2 * t + 1][0].astype(jnp.int32)
+            row = row_ref[b * C + t]
+            p = row % GROUP
             off = off_ref[b * C + t]
+            # Row-select via sublane-masked sums, NOT x[i:i+1] slices:
+            # sliced rows keep a sublane-offset layout that the lane
+            # concat below rejects ("offset mismatch on non-concat
+            # dimension"), while reductions land at offset 0.
+            subl = jax.lax.broadcasted_iota(jnp.int32, (GROUP, ROW), 0)
+            r0 = jnp.sum(jnp.where(subl == p, xa, 0), axis=0,
+                         keepdims=True)
+            r1 = (jnp.sum(jnp.where(subl == p + 1, xa, 0), axis=0,
+                          keepdims=True)
+                  + jnp.sum(jnp.where((subl == 0) & (p == GROUP - 1),
+                                      xb, 0), axis=0, keepdims=True))
+            span = jnp.concatenate([r0, r1], axis=1)  # [1, 2*ROW]
             rolled = pltpu.roll(span, -off, 1)
             out_ref[t: t + 1, :] = rolled[:, :TP].astype(jnp.uint8)
 
     def mk_spec(t, second):
         def imap(b, row, off):
-            return (row[b * C + t] + second, 0, 0)
-        return pl.BlockSpec((1, 1, ROW), imap, memory_space=pltpu.VMEM)
+            return (row[b * C + t] // GROUP + second, 0, 0)
+        return pl.BlockSpec((1, GROUP, ROW), imap,
+                            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -121,8 +153,10 @@ def fetch_tiles(eff_row, eff_off, bank3d, *, T: int, n_rows: int,
                                memory_space=pltpu.VMEM),
     )
     # Clip defensively: padding slots may carry arbitrary starts.  The
-    # highest legal row still reads rows (n_rows-2, n_rows-1).
-    row = jnp.clip(eff_row.astype(jnp.int32), 0, n_rows - 2)
+    # highest legal row keeps group g+1 in range (the builder appends
+    # a spare margin group).
+    row = jnp.clip(eff_row.astype(jnp.int32), 0,
+                   GROUP * (n_groups - 1) - 1)
     off = jnp.clip(eff_off.astype(jnp.int32), 0, ROW - 1)
     return pl.pallas_call(
         kernel,

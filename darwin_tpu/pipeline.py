@@ -146,10 +146,13 @@ def collect_calls_device(table: SeedTable, genome: Genome,
         RCAP = 256
         tpos = np.asarray(table.pos)
         if Q.shape[0] > RCAP:
-            outs = [jax.device_get(dsoft_device_batch(
-                        Q[i:i + RCAP], lens[i:i + RCAP], th_arg,
-                        tpos, **kw))
-                    for i in range(0, Q.shape[0], RCAP)]
+            # Dispatch every slice first (async), fetch once: slice
+            # i's transfer overlaps slice i+1's device compute.
+            pending = [dsoft_device_batch(
+                           Q[i:i + RCAP], lens[i:i + RCAP], th_arg,
+                           tpos, **kw)
+                       for i in range(0, Q.shape[0], RCAP)]
+            outs = jax.device_get(pending)
             hits, offs, counts, over = (
                 np.concatenate([o[j] for o in outs]) for j in range(4))
         else:
@@ -212,12 +215,24 @@ def collect_calls_table_sharded(table: SeedTable, genome: Genome,
         z = np.empty(0, dtype=np.int64)
         return GactCalls(z, z, z, z)
     if budgets is None:
-        budgets = derive_budgets(
-            table, [queries.slice(int(k), 0, int(queries.lengths[k]))
-                    for k in ids],
-            n_dev, num_seeds_cap=params.num_seeds,
-            threshold=params.threshold,
-            max_candidates=params.max_candidates)
+        # Deriving budgets replays the exact host D-SOFT over the
+        # batch — do it once per (table, mesh size) and reuse: the
+        # budgets carry 2x safety, they size STATIC shapes (a fresh
+        # derivation per batch would recompile the sharded fn), and
+        # an under-sized later batch only trips the overflow flag,
+        # which falls back to the exact host path below.
+        bcache = getattr(table, "_budget_cache", None)
+        if bcache is not None and bcache[0] == n_dev:
+            budgets = bcache[1]
+        else:
+            budgets = derive_budgets(
+                table,
+                [queries.slice(int(k), 0, int(queries.lengths[k]))
+                 for k in ids],
+                n_dev, num_seeds_cap=params.num_seeds,
+                threshold=params.threshold,
+                max_candidates=params.max_candidates)
+            table._budget_cache = (n_dev, budgets)
     cached = getattr(table, "_shard_cache", None)
     if cached is None or cached[0] != n_dev:
         hs, ps = make_sharded_table(table.hashes, table.pos, n_dev)
@@ -391,13 +406,16 @@ def run_pipeline(ref_records: list[FastaRecord],
     if table is None and engine == "device":
         import threading
 
-        table_box: list = [None]
+        table_box: list = [None, None]  # [table, exception]
 
         def _build_table():
-            table_box[0] = SeedTable.build(
-                genome.concat, params.seed_size,
-                params.seed_occurence_multiple, params.bin_size,
-                params.window_size)
+            try:
+                table_box[0] = SeedTable.build(
+                    genome.concat, params.seed_size,
+                    params.seed_occurence_multiple, params.bin_size,
+                    params.window_size)
+            except BaseException as e:  # re-raised at join
+                table_box[1] = e
 
         table_worker = threading.Thread(target=_build_table,
                                         name="seed-table-build")
@@ -424,6 +442,10 @@ def run_pipeline(ref_records: list[FastaRecord],
     t2 = _time.time()
     if table_worker is not None:
         table_worker.join()
+        if table_box[1] is not None:
+            # Surface the build failure here, not as a confusing
+            # NoneType error deep inside seeding.
+            raise table_box[1]
         table = table_box[0]
     elif table is None:
         table = SeedTable.build(genome.concat, params.seed_size,

@@ -14,7 +14,7 @@ def test_fetch_tiles_matches_slices(T):
     rng = np.random.default_rng(T)
     flat = rng.integers(65, 91, size=10_000).astype(np.uint8)
     bank, GP = build_combined_bank(flat, pad_byte=0)
-    assert GP % ROW == 0 and bank.shape[1:] == (1, ROW)
+    assert GP % ROW == 0 and bank.shape[1:] == (4, ROW)
     fwd = np.full(GP, 0, np.uint8)
     fwd[: len(flat)] = flat
 
