@@ -446,13 +446,57 @@ def _make_engine_fn(st: _Static, use_fetch: bool = False,
     return jax.jit(engine)
 
 
+def _drain_tail_span(costs: np.ndarray, B: int) -> tuple[int, int]:
+    """Event-driven slot-pool simulation: N calls with per-call
+    iteration costs, issued in order into B persistent slots (a slot
+    takes the next queued call when its current one finishes — the
+    engine's refill rule).  Returns (tail, total): total = predicted
+    engine iterations, tail = iterations the pool runs with fewer than
+    B//4 active slots, i.e. the span the two-tier drain could hand to
+    a small-B engine.  O(N log B) on the host, run once per dispatch.
+    """
+    import heapq
+
+    n = len(costs)
+    k = min(B, n)
+    finish = [int(c) for c in costs[:k]]
+    heapq.heapify(finish)
+    for c in costs[k:]:
+        t = heapq.heappop(finish)
+        heapq.heappush(finish, t + int(c))
+    f = sorted(finish, reverse=True)
+    total = f[0] if f else 0
+    q = B // 4
+    tail = total - f[q - 1] if q - 1 < len(f) else total
+    return tail, total
+
+
+# Auto-drain gate constants (see drain_enabled): engaging the drain
+# costs one state export + host round trip + straggler re-dispatch —
+# measured ~120 ms at E.coli scale (tools/drain_ecoli.py, round 5) —
+# and when the natural small-B engine is not already compiled the
+# redispatch reuses the parent's B (finish()), saving nothing.  The
+# gate therefore demands a DEEP straggler tail (not the one-call
+# quantization tail every uniform workload shows at its last refill
+# wave) that also dominates the run.  Calibration points, all
+# measured: E.coli uniform 10 kb (sim tail 41 iters / frac 0.33) —
+# drain LOST 120 ms; the 16:1-skew drain test (tail 218 / frac 0.69)
+# — drain wins; the round-3 drain_prof moderate skew (tail 40 /
+# frac 0.63) — a wash on chip.
+DRAIN_MIN_TAIL_ITERS = 64
+DRAIN_MIN_TAIL_FRAC = 0.5
+
+
 class DeviceGactEngine:
     """One-dispatch-per-direction GACT engine with device-resident
     sequence banks."""
 
-    # Two-tier drain switch (A/B measurement + escape hatch); see
-    # _dispatch for when the drain actually engages.
-    drain_enabled: bool = True
+    # Two-tier drain switch: True = auto (engage only when the
+    # workload-tail simulation predicts a harvestable straggler tail
+    # — see _drain_tail_span; at near-uniform read lengths the drain
+    # REGRESSED the E.coli align phase 462 -> 582 ms, round 5),
+    # "always" = skip the gate (A/B instrument), False = off.
+    drain_enabled: bool | str = True
 
     def __init__(self, genome: Genome, queries: SeqBank, *,
                  tile_size: int, early_terminate: int,
@@ -649,10 +693,23 @@ class DeviceGactEngine:
                 st = pw
         Ncap = st.Ncap
         # Two-tier drain: only worthwhile when the batch refills slots
-        # (N > B) and the batch is big enough that tail iterations are
-        # expensive; the drain dispatch itself runs to completion.
-        drain = (st.B // 4
-                 if drain_on and N > st.B and st.B >= 256 else 0)
+        # (N > B), the batch is big enough that tail iterations are
+        # expensive, and (auto mode) the slot-pool simulation predicts
+        # a straggler tail long enough to beat the redispatch overhead
+        # (_drain_tail_span; drain_enabled == "always" skips the
+        # simulation for A/B runs).  The drain dispatch itself runs to
+        # completion.
+        drain = 0
+        if drain_on and N > st.B and st.B >= 256:
+            if drain_on == "always":
+                drain = st.B // 4
+            else:
+                costs = (self.queries.lengths[bid]
+                         // max(1, st.ET) + 2)
+                tail, total = _drain_tail_span(costs, st.B)
+                if (tail >= DRAIN_MIN_TAIL_ITERS
+                        and tail >= DRAIN_MIN_TAIL_FRAC * total):
+                    drain = st.B // 4
         key = self._key(st)
         fn = _ENGINE_FN_CACHE.get(key)
         if fn is None:

@@ -152,6 +152,38 @@ def test_two_tier_drain_matches_host_engine(tb_format):
     assert key(recs_dev) == key(recs_host)
 
 
+def test_drain_auto_gate_calibration():
+    """The auto drain gate (slot-pool tail simulation) must match the
+    measured calibration points: OFF at near-uniform read lengths
+    (E.coli shape — the drain regressed the align phase 462 -> 582 ms,
+    tools/drain_ecoli.py round 5) and ON under harsh depth skew (the
+    16:1 workload the drain measurably wins, the test above)."""
+    import numpy as np
+
+    from darwin_tpu.engine.device_batch import (DRAIN_MIN_TAIL_FRAC,
+                                                DRAIN_MIN_TAIL_ITERS,
+                                                _drain_tail_span)
+
+    def gate(costs, B):
+        tail, total = _drain_tail_span(costs, B)
+        return (tail >= DRAIN_MIN_TAIL_ITERS
+                and tail >= DRAIN_MIN_TAIL_FRAC * total)
+
+    rng = np.random.default_rng(0)
+    # E.coli-like: ~1100 calls, all 10 kb reads, ET=256, B=512.
+    uniform = np.full(1100, 10_000 // 256 + 2)
+    assert not gate(uniform, 512)
+    # Harsh skew (the drain-test shape): ET=8, 1/16 of calls 250
+    # iterations deep, the rest 17-52.
+    skew = rng.integers(17, 53, size=600)
+    skew[::16] = 252
+    assert gate(skew, 256)
+    # Moderate skew at a big pool (the round-3 drain_prof synthetic,
+    # measured a wash): 15% x 50-iter, 85% x 10-iter, B=2048.
+    moderate = np.where(rng.random(3000) < 0.15, 52, 12)
+    assert not gate(moderate, 2048)
+
+
 def test_balance_calls_skewed_loads():
     """LPT assignment: skewed costs must spread within ~20% across
     devices while per-device counts stay at ceil(N/nd)."""
